@@ -1,0 +1,111 @@
+"""Arithmetic kernels with reference-pinned semantics (SURVEY §2.8, M1-M9).
+
+Reference semantics being reproduced (citations into /root/reference/):
+
+* Division by zero *nullifies* in masked arrays (`src/enums/operators.rs:27-30`)
+  → `try_div` (Spark `try_divide`), never a crash on the distributed path.
+* FloorDiv rounds toward −∞ for signed ints and is `(l/r).floor()` for floats
+  (`src/enums/operators.rs:41-47`) → `floordiv` = `floor(a / b)`; note Spark's
+  native integer `div` truncates toward zero, which would NOT match.
+* Remainder keeps the dividend's sign (C semantics), matching both Rust `%`
+  and Spark/DuckDB `%`.
+* Type promotion int⊕float→float (`src/kernels/routing/arithmetic.rs:214-470`)
+  is Catalyst's built-in coercion — nothing to do.
+* Container-level broadcasting — op applied across every numeric column of a
+  table (`src/kernels/broadcast/mod.rs:116-152`, ~10 kLoC of Rust) → `table_op`,
+  a few lines of column projection that Catalyst fuses into one codegen stage.
+
+Exact-aggregation helpers (`exact_sum`/`exact_avg`/`exact_var_samp`) exist for
+oracle determinism: double sums are order-sensitive under parallel execution,
+decimal sums are not. At 100 TB this is also the *correct* accounting pattern
+(revenue in decimal, not float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEC = "decimal(18,2)"
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def dec(col: Column | str, typ: str = DEC) -> Column:
+    """Cast to exact decimal for order-independent aggregation."""
+    return F.col(col).cast(typ) if isinstance(col, str) else col.cast(typ)
+
+
+def exact_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a double column: decimal-sum, emit double."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def exact_avg(col: Column | str, alias: str) -> Column:
+    """AVG from an exact decimal sum: deterministic across engines/partitions."""
+    return (F.sum(dec(col)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def exact_var_samp(col: Column | str, alias: str, ddof: int = 1) -> Column:
+    """Sample variance from exact decimal partial sums.
+
+    var = (Σx² − (Σx)²/n) / (n − ddof), with Σx and Σx² exact decimals —
+    the final expression is scalar double math on identical inputs in any
+    engine, so it hash-matches where a streaming variance would not.
+    """
+    c = dec(col)
+    s1 = F.sum(c).cast("double")
+    s2 = F.sum((c * c).cast("decimal(38,4)")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return ((s2 - s1 * s1 / n) / (n - F.lit(float(ddof)))).alias(alias)
+
+
+def try_div(a: Column, b: Column) -> Column:
+    """Division that nullifies on zero divisor (reference masked-array rule)."""
+    return F.try_divide(a, b)
+
+
+def floordiv(a: Column, b: Column) -> Column:
+    """Floor division toward −∞ (reference FloorDiv), null on zero divisor."""
+    return F.floor(F.try_divide(a, b))
+
+
+def remainder(a: Column, b: Column) -> Column:
+    """C-style remainder (dividend sign), null on zero divisor."""
+    return F.when(b == 0, F.lit(None)).otherwise(a % b)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)]
+
+
+def table_op(df: DataFrame, other, op: str = "+") -> DataFrame:
+    """Reference M7 container broadcasting: apply ``op`` with a scalar to every
+    numeric column, pass non-numeric columns through unchanged.
+
+    Mirrors `broadcast_value` (`/root/reference/src/kernels/broadcast/mod.rs:116-152`).
+    Catalyst fuses all the per-column expressions into a single projection —
+    no extra passes over the data regardless of column count.
+    """
+    ops = {
+        "+": lambda c, x: c + x,
+        "-": lambda c, x: c - x,
+        "*": lambda c, x: c * x,
+        "/": lambda c, x: F.try_divide(c, F.lit(x)),
+        "%": lambda c, x: remainder(c, F.lit(x)),
+        "//": lambda c, x: floordiv(c, F.lit(x)),
+        "**": lambda c, x: F.pow(c, x),
+    }
+    if op not in ops:
+        raise ValueError(f"unsupported op {op!r}")
+    num = set(numeric_columns(df))
+    return df.select(
+        *[
+            ops[op](F.col(c), other).alias(c) if c in num else F.col(c)
+            for c in df.columns
+        ]
+    )

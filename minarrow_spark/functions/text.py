@@ -1,0 +1,99 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+Beyond the reference's operator set (its string kernels are T1-T20); these are
+the document-corpus operations a 100 TB text pipeline needs: tokenization,
+language ID, quality scoring, fingerprinting. All are pure Catalyst
+expressions (whole-stage codegen, no Python in the hot path); the heuristic
+formulas are deliberately rational-arithmetic-only so results are
+bit-deterministic across engines for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language stopword regexes (word-boundary anchored). Deliberately tiny:
+# this is an n-gram/stopword *heuristic*, not a model — the point is the
+# distributed shape (one codegen'd projection), not linguistic accuracy.
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|of|and|to|a|in|is|it)\b",
+    "es": r"\b(el|la|de|que|y|los|en|un)\b",
+    "fr": r"\b(le|la|les|de|et|un|une|des)\b",
+    "de": r"\b(der|die|das|und|ist|ein|nicht|mit)\b",
+    "zh": r"\b(de|shi|le|wo|ni|ta|zai|you)\b",
+}
+
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; '' → 0 (split('') yields [''] otherwise)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens as an array<string> (lowercased)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: F.regexp_count(F.lower(text), F.lit(pat)).cast("bigint")
+        for lang, pat in LANG_PATTERNS.items()
+    }
+
+
+def lang_predict(text: Column) -> Column:
+    """argmax over stopword-hit scores with fixed priority order (en, es, fr,
+    de, zh) for ties — deterministic, SQL-expressible."""
+    scores = lang_scores(text)
+    langs = list(LANG_PATTERNS)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Rational-arithmetic quality score in (0, 1]:
+    (3·stopword_hits + tokens) / (tokens + 5·punct + mean_token_len + 1).
+    Long-word gibberish and punctuation soup score low; stopword-ful prose
+    scores high. Pure double ops → bit-deterministic."""
+    n_tok = token_count(text).cast("double")
+    n_char = F.length(text).cast("double")
+    stop = F.regexp_count(F.lower(text), F.lit(LANG_PATTERNS["en"])).cast("double")
+    punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("double")
+    mean_tok_len = F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0))
+    return (3.0 * stop + n_tok) / (n_tok + 5.0 * punct + mean_tok_len + 1.0)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. The reference's rolling-hash fingerprint analog with a
+    portable hash both engines implement identically."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (for minhash / jaccard dedup)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )

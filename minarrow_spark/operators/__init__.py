@@ -1,0 +1,16 @@
+from minarrow_spark.operators.dedup import (
+    augment_with_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    simhash16,
+)
+from minarrow_spark.operators.joins import asof_join
+from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
+
+__all__ = [
+    "augment_with_near_dups", "exact_dedup", "jaccard_pairs", "lsh_candidates",
+    "minhash_signatures", "simhash16", "asof_join", "brute_force_topk",
+    "cosine_sim",
+]

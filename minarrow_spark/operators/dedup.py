@@ -1,0 +1,184 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each with the scalable Spark shape:
+
+* exact       — hash-groupBy on a normalized fingerprint (one shuffle on the
+  fingerprint key; keep-min-id representative).
+* minhash-LSH — shingle → minhash signature → banded bucket join → exact
+  jaccard verification on candidates only. Never compares all pairs: the
+  only shuffles are groupBys on (doc, shingle)-derived keys and the bucket
+  self-join, all linear in corpus size at fixed band width.
+* simhash     — per-token hash bits, majority vote per bit, compact int
+  fingerprint; near-dups collide in fingerprint space.
+* n-gram jaccard — exact set overlap on blocked candidate pairs.
+
+Portability design: all hashing is md5-hex (identical in every engine), and
+the "minhash" of a shingle set is the *lexicographically minimal md5 hex
+string* under per-permutation salts — a valid uniform minhash that needs no
+64-bit integer coercion, so the DuckDB oracle can reproduce it with pure
+string ops. Band keys are md5 over concatenated signature slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from minarrow_spark.functions.text import shingles, tokens
+
+# --------------------------------------------------------------------------
+# corpus augmentation (test-data synthesis for dedup demos/oracles)
+# --------------------------------------------------------------------------
+
+
+def augment_with_near_dups(
+    docs: DataFrame, every: int = 10, id_offset: int = 100_000, drop_tokens: int = 5
+) -> DataFrame:
+    """Append a perturbed copy of every ``every``-th doc (first ``drop_tokens``
+    tokens removed, id shifted) — gives dedup queries a known dup population.
+    Deterministic; the oracle reproduces it with the same expression."""
+    toks = tokens(F.col("text"))
+    variant = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, drop_tokens + 1, F.size(toks))).alias("text"),
+        "lang",
+        "source",
+        F.col("n_chars"),
+    )
+    return docs.select("doc_id", F.lower(F.trim("text")).alias("text"), "lang", "source", "n_chars").unionByName(variant)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-text md5: one shuffle on the 128-bit key.
+    Returns (fp, keep_id, n_copies)."""
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    return (
+        docs.select(fp.alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word-k-gram shingles per doc: (doc_id, shingle)."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """Minhash signature per doc: h_i = min(md5(i || '|' || shingle)).
+
+    Lexicographic min over md5 hex = a uniform minhash (hex order is byte
+    order). One groupBy(doc_id) computes all ``num_hashes`` mins map-side —
+    a single shuffle regardless of signature width."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Banded LSH: band key = md5(h_j || … || h_{j+r-1}); docs sharing any
+    band key become candidate pairs (da < db).
+
+    Scale shape: explode to (band_id, band_key, doc_id), self-join on the
+    band key — work is Σ bucket² which LSH keeps small; skewed buckets are
+    handled by AQE skew-join."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col(f"h{b * band_size + j}") for j in range(band_size)])
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact jaccard for candidate pairs from the (doc_id, shingle) table:
+    |A∩B| via a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. All shuffles are
+    on doc/shingle keys — no array materialization per doc needed at scale."""
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        cands.join(sa, "da")
+        .join(sb, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("cb"))
+    return (
+        cands.join(inter, ["da", "db"], "left")
+        .join(ca, "da")
+        .join(cb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("ca") + F.col("cb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit simhash per doc from token md5 nibbles.
+
+    Bit j of a token = high bit of hex nibble j of md5(token); the document
+    bit is the majority vote over tokens; fingerprint = Σ bit_j·2^j.
+    One explode + one groupBy(doc_id) with 16 conditional sums — a single
+    shuffle, signature width is free (map-side combine)."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    nibble = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")
+    votes = [
+        F.sum(F.when(nibble(j) >= 8, 1).otherwise(-1)).alias(f"v{j}") for j in range(16)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return voted.select("doc_id", fp.cast("bigint").alias("simhash"))

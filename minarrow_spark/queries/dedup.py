@@ -1,0 +1,291 @@
+"""Deduplication queries over `documents` (exact, minhash-LSH, simhash,
+n-gram jaccard) — SURVEY extension ops for training-data pipelines.
+
+The corpus has no natural duplicates, so queries that detect dups first
+*augment* it with deterministic synthetic near/exact copies (id-shifted,
+optionally token-dropped) — the oracle reproduces the same augmentation, so
+the detection pipeline is exercised end-to-end with non-trivial output.
+
+All hashing is md5-hex; minhash = lexicographic min of salted md5 strings
+(a valid uniform minhash that both engines compute identically — see
+operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minarrow_spark.operators.dedup import (
+    augment_with_near_dups,
+    doc_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    simhash16,
+)
+from minarrow_spark.queries._util import T
+from minarrow_spark.registry import query
+
+# Shared oracle CTE fragments ------------------------------------------------
+
+_CORPUS_NEAR = """
+    base AS (
+      SELECT doc_id, lower(trim(text)) AS text, lang, source, n_chars
+      FROM documents
+    ),
+    variants AS (
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[6:], ' ')
+               AS text,
+             lang, source, n_chars
+      FROM base WHERE doc_id % 10 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               AS shingle
+      FROM tok
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+
+@query(
+    "q34_dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM corpus
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM fps GROUP BY fp
+    """,
+    tags=("dedup", "exact"),
+)
+def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized fingerprint, keep-min-id.
+    Corpus augmented with exact copies of every 10th doc."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_dedup(d.unionByName(dups))
+
+
+@query(
+    "q35_dedup_minhash",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bandrows AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bandrows a
+      JOIN bandrows b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.da
+      JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+      GROUP BY c.da, c.db
+    )
+    SELECT c.da, c.db,
+           round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard,
+           round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) >= 0.5
+             AS is_near
+    FROM cand c
+    LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+    JOIN cnt ca ON ca.doc_id = c.da
+    JOIN cnt cb ON cb.doc_id = c.db
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection end-to-end: shingle → 8-hash signature
+    → 4 bands → bucket join → exact jaccard verify. No all-pairs comparison
+    anywhere; every stage is a key-partitioned shuffle."""
+    docs = augment_with_near_dups(T(spark, sf_dir, "documents"))
+    sh = doc_shingles(docs, k=3)
+    sig = minhash_signatures(sh, num_hashes=8)
+    cands = lsh_candidates(sig, num_hashes=8, band_size=2)
+    jp = jaccard_pairs(cands, sh)
+    return jp.select(
+        "da", "db", "jaccard", (F.col("jaccard") >= 0.5).alias("is_near")
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             md5(unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q36_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (term-frequency-weighted
+    bit majority vote over token md5 nibbles)."""
+    return simhash16(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "q37_ngram_jaccard",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t,
+             source, n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+')[6:], ' '),
+             source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    g0 AS (
+      SELECT doc_id, source, n_chars // 100 AS blk,
+             unnest(list_transform(range(1, greatest(length(t) - 2, 1)),
+                                   i -> substr(t, i, 4))) AS gram
+      FROM corpus
+    ),
+    g AS (SELECT DISTINCT doc_id, source, blk, gram FROM g0),
+    cnt AS (SELECT doc_id, ANY_VALUE(source) AS source, ANY_VALUE(blk) AS blk,
+                   COUNT(*) AS n FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.n AS ca, b.n AS cb
+      FROM cnt a JOIN cnt b
+        ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.da, p.db, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.da
+      JOIN g gb ON gb.doc_id = p.db AND gb.gram = ga.gram
+      GROUP BY p.da, p.db
+    )
+    SELECT p.da, p.db,
+           round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (p.ca + p.cb - COALESCE(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+    WHERE round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                / (p.ca + p.cb - COALESCE(i.n_inter, 0)), 6) >= 0.3
+    """,
+    tags=("dedup", "ngram", "jaccard"),
+)
+def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram jaccard near-dup pairs, blocked by (source,
+    length-bucket) — the blocking keeps pair counts linear-ish; the gram
+    join computes |A∩B| without materializing per-doc arrays."""
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    corpus = d.select(
+        "doc_id", norm.alias("t"), "source", "n_chars"
+    ).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 6, F.size(toks))).alias("t"),
+            "source",
+            "n_chars",
+        )
+    )
+    grams = (
+        corpus.select(
+            "doc_id",
+            "source",
+            (F.col("n_chars") / 100).cast("bigint").alias("blk"),
+            F.explode(
+                F.when(
+                    F.length("t") < 4, F.array().cast("array<string>")
+                ).otherwise(
+                    F.expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    cnt = grams.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.first("blk").alias("blk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cnt.select(
+        F.col("doc_id").alias("da"), "source", "blk", F.col("n").alias("ca")
+    )
+    b = cnt.select(
+        F.col("doc_id").alias("db"),
+        F.col("source").alias("source_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("n").alias("cb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("source") == F.col("source_b"))
+        & (F.col("blk") == F.col("blk_b"))
+        & (F.col("da") < F.col("db")),
+    ).select("da", "db", "ca", "cb")
+    ga = grams.select(F.col("doc_id").alias("da"), "gram")
+    gb = grams.select(F.col("doc_id").alias("db"), "gram")
+    inter = (
+        pairs.join(ga, "da")
+        .join(gb, ["db", "gram"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+    jac = F.round(ni / (F.col("ca") + F.col("cb") - ni), 6)
+    return (
+        pairs.join(inter, ["da", "db"], "left")
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )

@@ -1,0 +1,197 @@
+"""Event-time processing over `events` — batch forms of the streaming surface
+(SURVEY §2.12 ST1-ST7). The same window specs run under Structured Streaming
+in minarrow_spark.streaming (tested by batch-equivalence, SURVEY §5).
+
+Timestamps: parquet stores ns; Spark truncates to µs on read — oracles cast
+to TIMESTAMP (µs) to match. Window starts are emitted as epoch seconds
+(BIGINT), the cross-engine-safe form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from minarrow_spark.functions.arithmetic import dec
+from minarrow_spark.operators.joins import asof_join
+from minarrow_spark.queries._util import T
+from minarrow_spark.registry import query
+
+
+@query(
+    "q45_tumbling_window",
+    oracle="""
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600 AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ST4", "streaming", "window"),
+    bench=True,
+)
+def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (F.window — identical spec runs
+    under readStream + watermark in the streaming layer)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q46_hopping_window",
+    oracle="""
+    WITH hops AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 3) t(i)),
+    assigned AS (
+      SELECT ((epoch_us(CAST(e.ts AS TIMESTAMP)) // 600000000) - h.i) * 600
+               AS window_start,
+             epoch_us(CAST(e.ts AS TIMESTAMP)) AS ep,
+             e.value
+      FROM events e CROSS JOIN hops h
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned
+    WHERE ep >= window_start * 1000000
+      AND ep < (window_start + 1800) * 1000000
+    GROUP BY window_start
+    """,
+    tags=("ST4", "streaming", "window"),
+)
+def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-min windows every 10 min (each event lands in 3 windows)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q47_sessionization",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ep,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ep,
+             CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, event_id, ep,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MAX(ep) - MIN(ep)) // 1000000 AS BIGINT) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("ST7", "sessionization"),
+)
+def q47_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap: lag → new-session flag →
+    running sum → per-session rollup. One shuffle on user_id."""
+    e = T(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        ep.alias("ep"),
+        F.when(
+            F.lag(ep).over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(ws))
+    return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("ep") - F.min("ep")) / 1_000_000).cast("bigint").alias("duration_s"),
+    )
+
+
+@query(
+    "q48_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS p_event_id, user_id, ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.p_event_id AS asof_event_id,
+           p.p_value AS asof_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("J7", "asof"),
+)
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7): for each click, the latest purchase at-or-before it
+    per user — union + last-observation window (one shuffle, no Python)."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["p_event_id", "p_value"],
+        allow_exact=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("asof_event_id"),
+        F.col("asof_p_value").alias("asof_value"),
+    )

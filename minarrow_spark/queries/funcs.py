@@ -1,0 +1,295 @@
+"""Scalar-function suites: strings (T1-T20), datetimes (D1-D12), arithmetic
+semantics (M1-M9), and statistical aggregates (A1-A9).
+
+These queries pin the *semantics* the reference implements in its kernels —
+0-based find, char vs byte length, div-by-zero nullification, floordiv toward
+−∞ — as cross-engine-deterministic result sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minarrow_spark.functions.arithmetic import (
+    dec,
+    exact_avg,
+    exact_var_samp,
+    floordiv,
+    remainder,
+    table_op,
+    try_div,
+)
+from minarrow_spark.functions.datetimes import (
+    date_str,
+    epoch_seconds,
+    is_leap_year,
+    iso_dow,
+    iso_week,
+)
+from minarrow_spark.functions.strings import byte_length, char_length, count_match, find0
+from minarrow_spark.queries._util import T
+from minarrow_spark.registry import query
+
+
+@query(
+    "q21_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           substr(p_name, 3, 5) AS sub,
+           CAST(length(p_name) AS BIGINT) AS len_chars,
+           CAST(octet_length(CAST(p_name AS BLOB)) AS BIGINT) AS len_bytes,
+           CAST(strpos(p_name, 'al') - 1 AS BIGINT) AS find0_al,
+           repeat(p_brand, 2) AS rep2,
+           lpad(p_brand, 12, '*') AS padded,
+           trim(p_name) AS trimmed,
+           reverse(p_brand) AS rev,
+           concat(p_brand, '#', p_type) AS joined,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           replace(p_name, 'a', '@') AS replaced,
+           contains(p_name, 'le') AS has_le,
+           starts_with(p_name, 'b') AS sw_b,
+           ends_with(p_name, 'e') AS ew_e,
+           CAST(length(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a
+    FROM part
+    """,
+    tags=("T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8", "T9", "T10",
+          "T11", "T12", "T14", "T15", "T16"),
+)
+def q21_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-series string kernels in one projection (single codegen stage)."""
+    p = T(spark, sf_dir, "part")
+    c = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.upper(c).alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring(c, 3, 5).alias("sub"),
+        char_length(c).alias("len_chars"),
+        byte_length(c).alias("len_bytes"),
+        find0(c, "al").alias("find0_al"),
+        F.repeat(F.col("p_brand"), 2).alias("rep2"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("padded"),
+        F.trim(c).alias("trimmed"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("joined"),
+        F.regexp_replace(c, "[aeiou]", "_").alias("devoweled"),
+        F.replace(c, F.lit("a"), F.lit("@")).alias("replaced"),
+        c.contains("le").alias("has_le"),
+        c.startswith("b").alias("sw_b"),
+        c.endswith("e").alias("ew_e"),
+        count_match(c, "a").alias("n_a"),
+    )
+
+
+@query(
+    "q22_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
+           CAST(week(o_orderdate) AS BIGINT) AS wk_iso,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS plus7d,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                AS BIGINT) AS days_to_end,
+           (year(o_orderdate) % 4 = 0
+            AND (year(o_orderdate) % 100 <> 0 OR year(o_orderdate) % 400 = 0))
+             AS leap,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    tags=("D1", "D2", "D3", "D5", "D6", "D8", "D9", "D12"),
+)
+def q22_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-series datetime kernels in one projection."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        iso_dow(d).alias("dow_iso"),
+        iso_week(d).alias("wk_iso"),
+        date_str(F.date_trunc("month", d)).alias("month_start"),
+        date_str(F.date_add(F.to_date(d), 7)).alias("plus7d"),
+        date_str(F.add_months(F.to_date(d), 3)).alias("plus3m"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.to_date(d))
+        .cast("bigint")
+        .alias("days_to_end"),
+        is_leap_year(d).alias("leap"),
+        epoch_seconds(d).alias("epoch_s"),
+    )
+
+
+@query(
+    "q23_arith_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0) AS try_div,
+           CAST(FLOOR((l_quantity - 25.0) / 7.0) AS BIGINT) AS fdiv,
+           CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                ELSE CAST(l_orderkey % (l_linenumber - 3) AS BIGINT) END AS rem,
+           round(pow(1 + l_discount, 3), 6) AS pw,
+           abs(l_quantity - 25.0) AS ab,
+           CAST(ceil(l_discount * 10) AS BIGINT) AS ce,
+           CAST(floor(l_tax * 10) AS BIGINT) AS fl,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
+           round(l_extendedprice * 0.001, 2) AS rnd,
+           sqrt(l_extendedprice) AS sq,
+           round(ln(l_extendedprice), 6) AS lg
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+    tags=("M1", "M2", "M4", "M9", "P6"),
+)
+def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference arithmetic edge semantics: div-by-zero → null (masked-array
+    rule, `operators.rs:27-30`), floordiv toward −∞ (`operators.rs:41-47`),
+    C-style remainder, plus the unary/math family. Per-row IEEE double ops —
+    bit-deterministic, no rounding needed."""
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        try_div(F.col("l_extendedprice"), F.col("l_discount")).alias("try_div"),
+        floordiv(F.col("l_quantity") - 25.0, F.lit(7.0)).cast("bigint").alias("fdiv"),
+        remainder(F.col("l_orderkey"), F.col("l_linenumber") - 3)
+        .cast("bigint")
+        .alias("rem"),
+        F.round(F.pow(1 + F.col("l_discount"), 3), 6).alias("pw"),
+        F.abs(F.col("l_quantity") - 25.0).alias("ab"),
+        F.ceil(F.col("l_discount") * 10).cast("bigint").alias("ce"),
+        F.floor(F.col("l_tax") * 10).cast("bigint").alias("fl"),
+        F.signum(F.col("l_quantity") - 25.0).cast("double").alias("sg"),
+        F.round(F.col("l_extendedprice") * 0.001, 2).alias("rnd"),
+        F.sqrt(F.col("l_extendedprice")).alias("sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("lg"),
+    )
+
+
+@query(
+    "q24_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1.0) AS var_qty,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A3", "A7", "A9", "A10"),
+)
+def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates via exact-decimal partial sums (A9: the
+    reference delegates these to its simd-kernels crate; here they're
+    order-independent by construction). Includes exact count-distinct (A3)
+    and null counting (A7)."""
+    l = T(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum((q * q).cast("decimal(38,4)")).cast("double")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        (s1 / n).alias("avg_qty"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_qty"),
+    )
+
+
+@query(
+    "q25_minmax_strings",
+    oracle="""
+    SELECT p_brand,
+           min(p_name) AS first_name,
+           max(p_name) AS last_name,
+           min(p_type) AS first_type,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part
+    GROUP BY p_brand
+    """,
+    tags=("A1", "A2", "A3"),
+)
+def q25_minmax_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over strings and categoricals (reference `min_string_array`
+    `string.rs:941` / categorical `string.rs:999` — one StringType path here)."""
+    p = T(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.min("p_name").alias("first_name"),
+        F.max("p_name").alias("last_name"),
+        F.min("p_type").alias("first_type"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "q26_approx_distinct",
+    oracle=None,  # approximate sketch — no cross-engine oracle; rows-only check
+    tags=("A4",),
+)
+def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality estimation (reference A4 sampling estimators
+    `utils.rs:327,348`). Approximate by design → rows-only driver check; the
+    exact counterpart is pinned by q24's COUNT(DISTINCT)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "q27_table_broadcast_op",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_quantity + 5.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice + 5.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_discount + 5.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+           CAST(SUM(CAST(l_tax + 5.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax,
+           CAST(SUM(CAST(l_orderkey + 5.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_okey,
+           CAST(SUM(CAST(l_linenumber + 5.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_line
+    FROM lineitem
+    """,
+    tags=("M6", "M7"),
+)
+def q27_table_broadcast_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level broadcasting (reference M7, `broadcast_value`
+    `src/kernels/broadcast/mod.rs:116-152`): scalar+table applied to every
+    numeric column via `table_op`, then checksummed per column."""
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_orderkey", "l_linenumber",
+    )
+    shifted = table_op(l, 5.0, "+")
+    return shifted.agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+        F.sum(dec("l_tax")).cast("double").alias("sum_tax"),
+        F.sum(dec("l_orderkey")).cast("double").alias("sum_okey"),
+        F.sum(dec("l_linenumber")).cast("double").alias("sum_line"),
+    )

@@ -1,0 +1,540 @@
+"""Relational core: scans, filters, joins, aggregations, set ops, sorts.
+
+Covers SURVEY §2.1 (S8), §2.2 (P1-P9), §2.3 (J1-J7), §2.4 (A1-A12),
+§2.6 (O1-O4), §2.7 (U1-U5). Every query has a DuckDB oracle.
+
+Scale notes (100 TB posture), per query where relevant:
+* Filters/projections are written so Catalyst pushes them into the parquet
+  scan (verified via .explain — PushedFilters / ReadSchema).
+* Joins against `region`/`nation`/`supplier` are explicitly broadcast; the
+  fact-fact joins (orders⋈lineitem) shuffle on the join key, which is the
+  right plan at any scale (AQE handles skew).
+* No collect()-driven logic anywhere; aggregates use exact decimal sums so
+  results are partition-order independent (also the correct pattern for
+  money at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minarrow_spark.functions.arithmetic import dec, exact_avg, exact_sum
+from minarrow_spark.queries._util import T
+from minarrow_spark.registry import query
+
+# --------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1-style pricing summary (scan→filter→agg→sort)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("S8", "P6", "P9", "A9", "A10", "O4"),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: the minimum end-to-end slice (SURVEY §7)."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (1 + dec("l_tax"))).cast("double").alias("sum_charge"),
+            exact_avg("l_quantity", "avg_qty"),
+            exact_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — projection + pushed-down predicates (P1, P6, P9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A','R')
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+    tags=("P1", "P6", "P9"),
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan + conjunctive predicates; all pushed to parquet."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — top-k with deterministic tie-break (O4: TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q03_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("O1", "O4", "P2"),
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 orders by price. Spark plans TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver; no global sort at any scale."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — fact⋈fact⋈dim join + group agg (J1, A10)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q04_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("J1", "A3", "A10"),
+    bench=True,
+)
+def q04_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment. customer is small relative to the facts →
+    broadcast; orders⋈lineitem shuffles on orderkey (the scalable plan)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — broadcast dim⋈dim⋈fact star join (J5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q05_region_customers",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("J1", "J5", "A10"),
+)
+def q05_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: both dims broadcast — zero shuffles on the fact side until
+    the final (tiny) aggregation."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q06/q07 — semi / anti joins (J3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q06_semi_join",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+    tags=("J3",),
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one large order (left-semi = EXISTS)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "q07_anti_join",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("J3",),
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left-anti = NOT EXISTS)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — outer join with null accounting (J2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q08_outer_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(SUM(CAST(COALESCE(l.l_quantity, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("J2", "A7"),
+)
+def q08_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a filtered right side; counts preserved/unmatched
+    rows — exercises reference null-mask semantics at the relational level."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_quantity"
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.sum(dec(F.coalesce(F.col("l_quantity"), F.lit(0))))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — non-equi range join against a generated bucket dim (J4, J6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q09_range_join",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(i AS BIGINT) AS bucket_id,
+             CAST(i * 100.0 AS DOUBLE) AS lo,
+             CAST((i + 1) * 100.0 AS DOUBLE) AS hi
+      FROM range(0, 10) t(i)
+    )
+    SELECT b.bucket_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    """,
+    tags=("J4", "J6"),
+)
+def q09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join. The bucket dim is tiny → broadcast
+    nested-loop, the only sane physical plan for non-equi at scale."""
+    e = T(spark, sf_dir, "events").select("value")
+    b = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b), (e.value >= b.lo) & (e.value < b.hi))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — distinct rows (A12)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q14_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_linenumber AS BIGINT) AS line
+    FROM lineitem
+    """,
+    tags=("A12",),
+)
+def q14_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct over a low-cardinality projection (map-side partial distinct)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_returnflag", "l_linestatus", F.col("l_linenumber").cast("bigint").alias("line")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# q15 — INTERSECT / EXCEPT (U5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q15_set_ops",
+    oracle="""
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT DISTINCT c_custkey FROM customer
+    )
+    UNION ALL
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+    )
+    """,
+    tags=("U5",),
+)
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-set intersection and difference between key domains."""
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    inter = (
+        o.intersect(c).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n")
+    )
+    exc = (
+        c.subtract(o).agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n")
+    )
+    return inter.unionByName(exc)
+
+
+# --------------------------------------------------------------------------
+# q16 — rollup (A11)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("A11", "J5"),
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region→nation→grand (note: the reference's `Cube`
+    struct is a 3-D container, NOT OLAP CUBE — SURVEY §2.4 A11)."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            exact_sum("s_acctbal", "total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_suppliers",
+            "total_bal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — pivot / cross-tabulation (A5, T20)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A5", "T20"),
+)
+def q17_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D contingency counts (reference `cross_tabulate`, `string.rs:2034`)
+    via groupBy().pivot() with explicit pivot values (no discovery pass)."""
+    l = T(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("cnt_o"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — union / concatenate (U1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_union",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM (
+      SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_totalprice >= 50000
+    )
+    """,
+    tags=("U1",),
+)
+def q18_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical concatenation of two disjoint scans (reference `concat`,
+    `src/traits/concatenate.rs:76`) — union is a no-shuffle plan node."""
+    o = T(spark, sf_dir, "orders")
+    lo = o.filter(F.col("o_totalprice") < 50000).select("o_orderkey")
+    hi = o.filter(F.col("o_totalprice") >= 50000).select("o_orderkey")
+    return lo.unionByName(hi).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — slice / gather (P2, P3, O3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_slice_gather",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, rn
+    FROM ordered
+    WHERE rn BETWEEN 101 AND 110 OR rn IN (1, 7, 500)
+    """,
+    tags=("P2", "P3", "O3"),
+)
+def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row window `.r(100..110)` + gather-by-index (reference `gather_rows`,
+    `table_view.rs:787`) expressed as row_number predicates — order is defined
+    by a unique key, so the 'slice' is stable under any partitioning."""
+    from pyspark.sql import Window as W
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = W.orderBy("o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w))
+    return ranked.filter(
+        F.col("rn").between(101, 110) | F.col("rn").isin(1, 7, 500)
+    )

@@ -1,0 +1,174 @@
+"""SQL window functions (SURVEY §2.5, W1-W4).
+
+The reference has no SQL windows (its "window" is a physical view window,
+`ArrayV` offset+len) — these are capability-implied. Every window spec here
+carries a unique ordering key so ranks and frames are deterministic under
+distributed execution; running/framed sums go through exact decimals.
+
+Scale note: Window.partitionBy shuffles once on the partition key and sorts
+within partitions — the canonical scalable plan. Nothing uses a global
+(unpartitioned) window except where the output is provably tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from minarrow_spark.functions.arithmetic import dec
+from minarrow_spark.functions.datetimes import epoch_micros
+from minarrow_spark.queries._util import T
+from minarrow_spark.registry import query
+
+
+@query(
+    "q10_window_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderstatus) AS status_rank
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("W1",),
+    bench=True,
+)
+def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + rank (W1)."""
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wr).alias("status_rank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q11_window_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS gap_us,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS first_type
+    FROM events
+    """,
+    tags=("W2",),
+)
+def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event gaps via lag + first_value (W2). Timestamps are reduced
+    to epoch µs (Spark truncates parquet ns→µs; the oracle casts to match)."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = epoch_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (ep - F.lag(ep).over(w)).cast("bigint").alias("gap_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@query(
+    "q12_moving_window",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_qty,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+    FROM lineitem
+    WHERE l_suppkey <= 20
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W3",),
+)
+def q12_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 4-row sum per supplier (framed aggregate, W3)."""
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_quantity")).over(w).cast("double").alias("moving_qty"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@query(
+    "q13_cumulative",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS order_seq
+    FROM orders
+    """,
+    tags=("W4",),
+)
+def q13_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running customer spend (cumulative W4) — the reference's `Cube`
+    time-stacking use case (`cube.rs:62-77`) as a window."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ws = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(ws).cast("bigint").alias("order_seq"),
+    )
+
+
+@query(
+    "q20_ntile_lead",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+             AS bal_quartile,
+           LEAD(c_custkey) OVER (ORDER BY c_acctbal DESC, c_custkey) AS next_cust,
+           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_code
+    FROM customer
+    """,
+    tags=("W1", "W2", "T17"),
+)
+def q20_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/lead/dense_rank; dense_rank over segment doubles as the
+    string→categorical code recode (reference T17, `string.rs` recode)."""
+    c = T(spark, sf_dir, "customer")
+    wb = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    ws = W.orderBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(wb).cast("bigint").alias("bal_quartile"),
+        F.lead("c_custkey").over(wb).alias("next_cust"),
+        F.dense_rank().over(ws).cast("bigint").alias("seg_code"),
+    )

@@ -1,0 +1,69 @@
+"""Query registry: the engine's declared operator surface.
+
+Every operator family from SURVEY.md §2 is exercised by at least one named
+query registered here. Each query is a (Spark callable, DuckDB oracle SQL)
+pair; the driver hash-compares the two at sf0.01, so both sides must be
+*numerically deterministic*, not just mathematically equal.
+
+Determinism rules used throughout (see tests/test_oracle.py):
+
+* SUM over doubles is order-sensitive → route through exact arithmetic:
+  cast to DECIMAL(18,2) before summing (exact, order-independent in both
+  engines), cast the final aggregate back to DOUBLE.
+* AVG/variance → computed from exact decimal partial sums with scalar
+  double math at the end (identical IEEE ops on identical inputs).
+* Per-row double expressions are bit-deterministic across engines (same
+  IEEE 754 ops) and need no rounding.
+* Output columns are canonical types only: BIGINT, DOUBLE, VARCHAR,
+  BOOLEAN — never raw timestamps/decimals (cross-engine hashing hazards).
+* Any ORDER BY used for ranking/top-k carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over the pre-registered views; None → rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query. ``oracle`` is DuckDB SQL equivalent to the Spark fn."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = Query(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), bench=bench,
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every query module (side-effect registration) and return the registry."""
+    import minarrow_spark.queries  # noqa: F401  (imports submodules)
+
+    return QUERIES

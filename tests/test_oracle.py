@@ -1,0 +1,37 @@
+"""Every registered query with an oracle is hash-compared against DuckDB —
+the same check the driver runs at sf0.01 (here at sf0.001 for speed; set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full tier)."""
+
+from __future__ import annotations
+
+import pytest
+
+from minarrow_spark.registry import all_queries
+from tests.oracle_utils import compare, duckdb_conn
+
+QUERIES = all_queries()
+ORACLE_NAMES = [n for n, q in QUERIES.items() if q.oracle is not None]
+ROWS_ONLY_NAMES = [n for n, q in QUERIES.items() if q.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, sf_dir, con, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    ok, msg = compare(df, con, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
