@@ -1,7 +1,10 @@
 from minarrow_spark.operators.dedup import (
     augment_with_near_dups,
+    doc_shingle_arrays,
+    doc_shingles,
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_arr,
     lsh_candidates,
     minhash_signatures,
     simhash16,
@@ -10,7 +13,8 @@ from minarrow_spark.operators.joins import asof_join
 from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
 
 __all__ = [
-    "augment_with_near_dups", "exact_dedup", "jaccard_pairs", "lsh_candidates",
+    "augment_with_near_dups", "doc_shingle_arrays", "doc_shingles",
+    "exact_dedup", "jaccard_pairs", "jaccard_pairs_arr", "lsh_candidates",
     "minhash_signatures", "simhash16", "asof_join", "brute_force_topk",
     "cosine_sim",
 ]

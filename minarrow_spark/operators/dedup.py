@@ -70,24 +70,46 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word-k-gram shingles per doc: (doc_id, shingle)."""
-    return (
-        docs.select("doc_id", F.explode(shingles(F.col("text"), k)).alias("shingle"))
-        .distinct()
+    """Distinct word-k-gram shingles per doc: (doc_id, shingle).
+
+    Distinctness is enforced *within the row* (array_distinct before the
+    explode) — no shuffle; the output is globally duplicate-free because
+    doc_id is unique per row."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), k))).alias("shingle"),
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+def doc_shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc distinct shingle arrays: (doc_id, sh_arr). The zero-shuffle
+    representation — everything derivable per-row stays per-row."""
+    return docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), k)).alias("sh_arr")
+    )
+
+
+def minhash_signatures(dsa: DataFrame, num_hashes: int = 8) -> DataFrame:
     """Minhash signature per doc: h_i = min(md5(i || '|' || shingle)).
 
     Lexicographic min over md5 hex = a uniform minhash (hex order is byte
-    order). One groupBy(doc_id) computes all ``num_hashes`` mins map-side —
-    a single shuffle regardless of signature width."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    order). Computed per-row from the shingle array (array_min ∘ transform):
+    ZERO shuffles for any signature width — the groupBy formulation this
+    replaces shuffled the full shingle table. Docs with no shingles yield
+    null signatures and drop out of banding naturally."""
+    def salted(i: int):
+        # NB: must be a 1-arg lambda — F.transform passes (element, index)
+        # to 2-arg callables, which would corrupt the salt.
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return dsa.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("sh_arr"), salted(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidates(sig: DataFrame, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
@@ -152,6 +174,27 @@ def jaccard_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
                 F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
                 / (F.col("ca") + F.col("cb") - F.coalesce(F.col("n_inter"), F.lit(0))),
                 6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs_arr(cands: DataFrame, dsa: DataFrame) -> DataFrame:
+    """Exact jaccard for candidate pairs from per-doc shingle *arrays*:
+    two equi-joins to attach the arrays, then per-row array_intersect.
+    Preferred when docs are bounded-size (the common corpus case) — no
+    shingle-level shuffle at all; use `jaccard_pairs` for unbounded docs."""
+    a = dsa.select(F.col("doc_id").alias("da"), F.col("sh_arr").alias("arr_a"))
+    b = dsa.select(F.col("doc_id").alias("db"), F.col("sh_arr").alias("arr_b"))
+    ni = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("double")
+    return (
+        cands.join(a, "da")
+        .join(b, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                ni / (F.size("arr_a") + F.size("arr_b") - ni), 6
             ).alias("jaccard"),
         )
     )

@@ -18,9 +18,9 @@ from pyspark.sql import functions as F
 
 from minarrow_spark.operators.dedup import (
     augment_with_near_dups,
-    doc_shingles,
+    doc_shingle_arrays,
     exact_dedup,
-    jaccard_pairs,
+    jaccard_pairs_arr,
     lsh_candidates,
     minhash_signatures,
     simhash16,
@@ -135,13 +135,19 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection end-to-end: shingle → 8-hash signature
-    → 4 bands → bucket join → exact jaccard verify. No all-pairs comparison
-    anywhere; every stage is a key-partitioned shuffle."""
+    → 4 bands → bucket join → exact jaccard verify. Signatures are computed
+    per-row from shingle arrays (zero shuffles); the only shuffles are the
+    band-bucket self-join and the two array-attach joins — no all-pairs
+    comparison anywhere."""
     docs = augment_with_near_dups(T(spark, sf_dir, "documents"))
-    sh = doc_shingles(docs, k=3)
-    sig = minhash_signatures(sh, num_hashes=8)
+    # The shingle-array table feeds three consumers (signatures + both sides
+    # of the jaccard join) — persist it once instead of re-running the text
+    # pipeline per consumer. Same call a cluster job would make: the derived
+    # table is ~corpus-sized, far smaller than recomputation.
+    dsa = doc_shingle_arrays(docs, k=3).persist()
+    sig = minhash_signatures(dsa, num_hashes=8)
     cands = lsh_candidates(sig, num_hashes=8, band_size=2)
-    jp = jaccard_pairs(cands, sh)
+    jp = jaccard_pairs_arr(cands, dsa)
     return jp.select(
         "da", "db", "jaccard", (F.col("jaccard") >= 0.5).alias("is_near")
     )
