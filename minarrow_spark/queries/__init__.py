@@ -18,6 +18,7 @@ from minarrow_spark.queries import (  # noqa: F401
     dedup,
     eventflow,
     funcs,
+    multimodal,
     relational,
     similarity,
     textops,
