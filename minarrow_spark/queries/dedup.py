@@ -145,6 +145,7 @@ def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline per consumer. Same call a cluster job would make: the derived
     # table is ~corpus-sized, far smaller than recomputation.
     dsa = doc_shingle_arrays(docs, k=3).persist()
+    dsa.count()  # materialize once; 3 downstream branches would otherwise race-compute it
     sig = minhash_signatures(dsa, num_hashes=8)
     cands = lsh_candidates(sig, num_hashes=8, band_size=2)
     jp = jaccard_pairs_arr(cands, dsa)
@@ -245,18 +246,27 @@ def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
+    # let-bind the normalized text so each substr doesn't re-run the regex
+    # normalization (projection collapse inlines `t` into the lambda).
+    from minarrow_spark.functions.text import let_
+
+    gram_arr = let_(
+        F.col("t"),
+        lambda t: F.when(
+            F.length(t) < 4, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 3),
+                lambda i: F.substring(t, i, F.lit(4)),
+            )
+        ),
+    )
     grams = (
         corpus.select(
             "doc_id",
             "source",
             (F.col("n_chars") / 100).cast("bigint").alias("blk"),
-            F.explode(
-                F.when(
-                    F.length("t") < 4, F.array().cast("array<string>")
-                ).otherwise(
-                    F.expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")
-                )
-            ).alias("gram"),
+            F.explode(gram_arr).alias("gram"),
         )
         .distinct()
     )
