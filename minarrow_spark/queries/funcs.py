@@ -293,3 +293,67 @@ def q27_table_broadcast_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_orderkey")).cast("double").alias("sum_okey"),
         F.sum(dec("l_linenumber")).cast("double").alias("sum_line"),
     )
+
+
+# --------------------------------------------------------------------------
+# q52 — Table↔Matrix: covariance matrix as a distributed aggregation
+# --------------------------------------------------------------------------
+
+_MAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _cov_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _MAT_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(_MAT_COLS):
+        for b in _MAT_COLS[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+                f" AS DOUBLE) AS p_{a}_{b}"
+            )
+    rows = []
+    for i, a in enumerate(_MAT_COLS):
+        for j, b in enumerate(_MAT_COLS):
+            p = f"p_{a}_{b}" if j >= i else f"p_{b}_{a}"
+            rows.append(
+                f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+                f"({p} - s_{a} * s_{b} / n) / n AS cov FROM g"
+            )
+    return "WITH g AS (SELECT " + ", ".join(sums) + " FROM lineitem) " + (
+        " UNION ALL ".join(rows)
+    )
+
+
+@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix",))
+def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of three lineitem measures in long form
+    (var_a, var_b, cov) — the reference's dense `Matrix` + Table↔Matrix cast
+    story (`src/structs/matrix.rs:74,410-827`) re-expressed as a distributed
+    aggregation: ONE scan + ONE single-row reduce producing all n² cells
+    (partial aggregation map-side; no per-pair passes). Sums are exact
+    decimals so the result is order-independent; the covariance itself is a
+    scalar double expression evaluated identically in both engines."""
+    l = T(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _MAT_COLS:
+        aggs.append(F.sum(dec(c)).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_MAT_COLS):
+        for b in _MAT_COLS[i:]:
+            aggs.append(F.sum(dec(a) * dec(b)).cast("double").alias(f"p_{a}_{b}"))
+    g = l.agg(*aggs)
+    cells = []
+    for i, a in enumerate(_MAT_COLS):
+        for j, b in enumerate(_MAT_COLS):
+            p = f"p_{a}_{b}" if j >= i else f"p_{b}_{a}"
+            cells.append(
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    ((F.col(p) - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n"))
+                     / F.col("n")).alias("cov"),
+                )
+            )
+    return g.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.var_a", "c.var_b", "c.cov"
+    )

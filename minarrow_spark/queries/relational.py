@@ -446,6 +446,57 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q16b — OLAP CUBE / grouping sets (A11)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16b_cube",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, n_name)
+    """,
+    tags=("A11",),
+)
+def q16b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OLAP CUBE over (region, nation) with GROUPING() markers — all
+    four grouping sets in one pass (Catalyst expands to a single shuffle
+    with partial aggregation; the `gid` column disambiguates data NULLs from
+    subtotal NULLs). Complements q16's ROLLUP (SURVEY §2.4 A11)."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.cube("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("s_suppkey").alias("n_suppliers"),
+            exact_sum("s_acctbal", "total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_suppliers",
+            "total_bal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q17 — pivot / cross-tabulation (A5, T20)
 # --------------------------------------------------------------------------
 

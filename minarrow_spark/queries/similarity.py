@@ -61,6 +61,127 @@ def q38_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(probes, e, k=10).select("q_id", "vec_id", "sim", "rank")
 
 
+def _cell_sql(col: str, lo: int, hi: int) -> str:
+    """DuckDB: sign-bit cell key over dims [lo, hi] (1-based)."""
+    return " || ".join(
+        f"(CASE WHEN {col}[{d}] >= 0 THEN '1' ELSE '0' END)" for d in range(lo, hi + 1)
+    )
+
+
+def _cell_col(col, lo: int, hi: int):
+    """Spark: sign-bit cell key over dims [lo, hi] (1-based, matches SQL)."""
+    return F.concat(
+        *[
+            F.when(F.element_at(col, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in range(lo, hi + 1)
+        ]
+    )
+
+
+@query(
+    "q38b_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {_cell_sql('CAST(embedding AS DOUBLE[])', 1, 4)} AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_vec, cell FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             round(list_cosine_similarity(q.q_vec, c.emb), 6) AS sim
+      FROM v c JOIN q ON c.cell = q.cell AND c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to coarse cells by a deterministic
+    quantizer (sign bits of dims 1-4 → 16 cells); each probe searches only
+    its own cell. The scale shape: cell assignment is a per-row projection,
+    probe→candidate matching is an equi-join on the cell key — at 100 TB the
+    candidate table is partitioned/bucketed by cell, so each probe touches
+    1/n_cells of the data instead of scanning everything (q38). Deterministic
+    quantizer → the oracle reproduces the same cells, so even the *approximate*
+    result is exactly checkable."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    v = e.withColumn("cell", _cell_col(F.col("emb"), 1, 4))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_vec"), "cell"
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_sim(F.col("q_vec"), F.col("emb")).alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "q40_embedding_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    variants AS (
+      SELECT vec_id + 100000 AS vec_id, list_prepend(emb[1] + 0.5, emb[2:]) AS emb
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+    cells AS (
+      SELECT vec_id, emb, {_cell_sql('emb', 2, 9)} AS cell FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT va, vb, sim FROM pairs WHERE sim >= 0.8
+    """,
+    tags=("dedup", "similarity", "embedding"),
+)
+def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the 5th dedup family): corpus
+    augmented with perturbed copies (dim-1 shifted +0.5, id +100000), blocked
+    by sign-bit cells over dims 2-9 — untouched by the perturbation, so true
+    near-dups always share a cell — then exact cosine ≥ 0.8 within blocks.
+    One equi-join on the 8-bit cell key instead of an all-pairs product; the
+    deterministic blocking lets the oracle reproduce the result exactly."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    variants = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + 0.5), F.slice("emb", 2, 63)
+        ).alias("emb"),
+    )
+    corpus = e.unionByName(variants).withColumn(
+        "cell", _cell_col(F.col("emb"), 2, 9)
+    )
+    a = corpus.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"), "cell")
+    b = corpus.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= 0.8)
+    )
+
+
 @query(
     "q39_similar_pairs",
     oracle=f"""
