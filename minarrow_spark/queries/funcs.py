@@ -357,3 +357,57 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(F.explode(F.array(*cells)).alias("c")).select(
         "c.var_a", "c.var_b", "c.cov"
     )
+
+
+# --------------------------------------------------------------------------
+# q53 — Arrow escape-hatch kernel (S2-S5, F4): mapInArrow over partitions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q53_arrow_kernel",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS net_c4,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("F4", "S2", "S5"),
+)
+def q53_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow kernel via the engine's escape hatch (the reference's
+    pyo3 pattern, `pyo3/src/lib.rs:86-94`): a RecordBatch→RecordBatch numpy
+    kernel computes net revenue in exact integer 10^-4 units per row
+    executor-side (`map_in_arrow` — no driver materialization, any partition
+    count), then the aggregation happens back in Catalyst land. Integer math
+    end-to-end → bit-exact vs the SQL oracle despite crossing the Python
+    boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    from minarrow_spark.sources.arrow_io import map_in_arrow
+
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def kernel(batch: pa.RecordBatch) -> pa.RecordBatch:
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        disc_pct = np.rint(batch.column("l_discount").to_numpy() * 100).astype(
+            np.int64
+        )
+        return pa.RecordBatch.from_arrays(
+            [batch.column("l_returnflag"), pa.array(price_c * (100 - disc_pct))],
+            names=["l_returnflag", "net_c4"],
+        )
+
+    mapped = map_in_arrow(l, kernel, "l_returnflag string, net_c4 long")
+    return mapped.groupBy("l_returnflag").agg(
+        F.sum("net_c4").cast("bigint").alias("net_c4"),
+        F.count(F.lit(1)).alias("n"),
+    )

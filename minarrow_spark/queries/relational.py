@@ -589,3 +589,47 @@ def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn").between(101, 110) | F.col("rn").isin(1, 7, 500)
     )
+
+
+# --------------------------------------------------------------------------
+# q19b — split at index (U2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19b_split",
+    oracle="""
+    WITH numbered AS (
+      SELECT s_acctbal, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn
+      FROM supplier
+    )
+    SELECT CASE WHEN rn <= 50 THEN 0 ELSE 1 END AS part_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM numbered GROUP BY 1
+    """,
+    tags=("U2",),
+)
+def q19b_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-at-index (reference `Table::split` → SuperTable,
+    `table.rs:603`): the first 50 rows in s_suppkey order vs the rest,
+    summarized per part. Uses a row_number window on the (small) supplier
+    dim; for a fact-scale split the same semantics come from a range filter
+    on the sort key (zero-shuffle, partition-prunable) — the window form here
+    pins the exact at-index semantics."""
+    from pyspark.sql import Window as W
+
+    s = T(spark, sf_dir, "supplier")
+    numbered = s.select(
+        "s_acctbal", F.row_number().over(W.orderBy("s_suppkey")).alias("rn")
+    )
+    return (
+        numbered.withColumn(
+            "part_id", F.when(F.col("rn") <= 50, F.lit(0)).otherwise(F.lit(1))
+        )
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("s_acctbal", "total_bal"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Arrow interop boundary: the Spark analog of the reference's FFI layer.
+
+Reference mapping (SURVEY §2.1 S2-S6, §2.13 F4):
+
+* `import_from_c` (`src/ffi/arrow_c_ffi.rs:640`) — Arrow data *into* the
+  engine → ``from_arrow`` (``spark.createDataFrame`` on a ``pyarrow.Table``;
+  Spark's Arrow fast path does the zero-copy batch transfer).
+* `export_to_c` (`arrow_c_ffi.rs:432`) — engine data *out* as Arrow →
+  ``to_arrow`` (``DataFrame.toArrow()``, Spark 4).
+* RecordBatch stream import/export (`arrow_c_ffi.rs:2104-2660`) →
+  ``arrow_batches`` (a pull iterator of ``pyarrow.RecordBatch``).
+* The pyo3 kernel pattern — "take a RecordBatch, compute, return a
+  RecordBatch" (`pyo3/src/lib.rs:86-94`) → ``map_in_arrow``: the engine's
+  escape hatch for kernels Catalyst can't express. The user function sees
+  Arrow batches exactly like the reference's FFI kernels do, but Spark runs
+  it on every partition of a distributed DataFrame.
+
+Scale posture: ``map_in_arrow`` is executor-side (no driver materialization,
+works at any partition count); ``to_arrow``/``arrow_batches`` are *driver*
+collection points — boundary/export APIs, intentionally not used inside any
+query plan (the same role `export_to_c` plays in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def from_arrow(spark: SparkSession, data: pa.Table | pa.RecordBatch) -> DataFrame:
+    """Arrow → DataFrame (reference `import_from_c`). Accepts a Table or a
+    single RecordBatch; schema (incl. nullability) comes from Arrow."""
+    if isinstance(data, pa.RecordBatch):
+        data = pa.Table.from_batches([data])
+    return spark.createDataFrame(data)
+
+
+def to_arrow(df: DataFrame) -> pa.Table:
+    """DataFrame → Arrow table at the driver (reference `export_to_c`)."""
+    return df.toArrow()
+
+
+def arrow_batches(df: DataFrame) -> Iterator[pa.RecordBatch]:
+    """DataFrame → pull-iterator of RecordBatches (reference's stream export,
+    `arrow_c_ffi.rs:2104`): one batch at a time, no full materialization."""
+    yield from df.toArrow().to_batches()
+
+
+def map_in_arrow(
+    df: DataFrame,
+    fn: Callable[[pa.RecordBatch], pa.RecordBatch],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Apply a RecordBatch→RecordBatch kernel across all partitions.
+
+    Mirrors the reference's pyo3 extension pattern (`pyo3/src/lib.rs:86-94`):
+    the kernel author writes against Arrow, the engine handles distribution.
+    ``fn`` must be row-count-preserving per batch only if the caller's
+    semantics require it — Spark imposes no constraint."""
+
+    def _iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield fn(batch)
+
+    return df.mapInArrow(_iter, schema)

@@ -1,0 +1,63 @@
+"""Arrow interop boundary tests (SURVEY §2.1 S2-S6, §2.13 F4): round-trips
+mirroring the reference's FFI test strategy (`pyo3/tests/atomic_tests.rs` —
+per-type Rust→PyArrow→Rust equality; here DataFrame→Arrow→DataFrame)."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from minarrow_spark.sources.arrow_io import (
+    arrow_batches,
+    from_arrow,
+    map_in_arrow,
+    to_arrow,
+)
+from minarrow_spark.sources.catalog import load_table
+
+
+def test_roundtrip_typed_table(spark):
+    tbl = pa.table(
+        {
+            "i": pa.array([1, None, 3], pa.int64()),
+            "f": pa.array([1.5, 2.5, None], pa.float64()),
+            "s": pa.array(["a", None, "c"], pa.string()),
+            "b": pa.array([True, False, None], pa.bool_()),
+        }
+    )
+    df = from_arrow(spark, tbl)
+    back = to_arrow(df)
+    assert back.to_pydict() == tbl.to_pydict()
+
+
+def test_roundtrip_parquet_table(spark, sf_dir):
+    df = load_table(spark, sf_dir, "supplier")
+    back = from_arrow(spark, to_arrow(df))
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+
+
+def test_arrow_batches_stream(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    total = 0
+    for batch in arrow_batches(df):
+        assert isinstance(batch, pa.RecordBatch)
+        total += batch.num_rows
+    assert total == 1000
+
+
+def test_map_in_arrow_kernel_matches_expr(spark, sf_dir):
+    df = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+
+    def kernel(batch: pa.RecordBatch) -> pa.RecordBatch:
+        import numpy as np
+
+        doubled = batch.column("s_acctbal").to_numpy() * 2.0
+        return pa.RecordBatch.from_arrays(
+            [batch.column("s_suppkey"), pa.array(doubled)],
+            names=["s_suppkey", "dbl"],
+        )
+
+    via_arrow = map_in_arrow(df, kernel, "s_suppkey long, dbl double")
+    via_expr = df.select("s_suppkey", (F.col("s_acctbal") * 2.0).alias("dbl"))
+    assert via_arrow.exceptAll(via_expr).count() == 0
+    assert via_expr.exceptAll(via_arrow).count() == 0
