@@ -8,6 +8,7 @@ These queries pin the *semantics* the reference implements in its kernels —
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,11 +53,13 @@ from minarrow_spark.registry import query
            contains(p_name, 'le') AS has_le,
            starts_with(p_name, 'b') AS sw_b,
            ends_with(p_name, 'e') AS ew_e,
-           CAST(length(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a
+           CAST(length(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+           concat(p_brand, CAST(p_partkey + 1 AS VARCHAR)) AS str_num,
+           CAST(p_partkey AS VARCHAR) AS num_str
     FROM part
     """,
-    tags=("T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8", "T9", "T10",
-          "T11", "T12", "T14", "T15", "T16"),
+    tags=("A6", "T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8", "T9", "T10",
+          "T11", "T12", "T14", "T15", "T16", "T18", "T19"),
 )
 def q21_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-series string kernels in one projection (single codegen stage)."""
@@ -81,6 +84,12 @@ def q21_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.startswith("b").alias("sw_b"),
         c.endswith("e").alias("ew_e"),
         count_match(c, "a").alias("n_a"),
+        # T18 string⊕numeric arithmetic ("a"+1 → "a1", `arithmetic/string.rs:88`)
+        F.concat(
+            F.col("p_brand"), (F.col("p_partkey") + 1).cast("string")
+        ).alias("str_num"),
+        # T19 numeric→string cast (`utils.rs:120,135`)
+        F.col("p_partkey").cast("string").alias("num_str"),
     )
 
 
@@ -103,10 +112,20 @@ def q21_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            (year(o_orderdate) % 4 = 0
             AND (year(o_orderdate) % 100 <> 0 OR year(o_orderdate) % 400 = 0))
              AS leap,
-           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS epoch_s
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS epoch_s,
+           CAST(epoch_us(o_orderdate + INTERVAL 36 HOUR) // 1000000 AS BIGINT)
+             AS plus36h_s,
+           o_orderdate < TIMESTAMP '1995-06-01 00:00:00' AS before_95h2,
+           o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 23:59:59' AS in_1996,
+           CAST(epoch(timezone('America/New_York', timezone('UTC', o_orderdate)))
+                - epoch(o_orderdate) AS BIGINT) AS ny_offset_s,
+           CAST(epoch_us(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                                  '%Y-%m-%d %H:%M:%S')) // 1000000 AS BIGINT)
+             AS reparsed_s
     FROM orders
     """,
-    tags=("D1", "D2", "D3", "D5", "D6", "D8", "D9", "D12"),
+    tags=("D1", "D2", "D3", "D4", "D5", "D6", "D7", "D8", "D9", "D10", "D11", "D12"),
 )
 def q22_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-series datetime kernels in one projection."""
@@ -129,6 +148,27 @@ def q22_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_end"),
         is_leap_year(d).alias("leap"),
         epoch_seconds(d).alias("epoch_s"),
+        # D4 add_duration (`datetime_ops.rs:78-81`)
+        epoch_seconds(d + F.expr("INTERVAL 36 HOURS")).alias("plus36h_s"),
+        # D7 is_before / between (`datetime_ops.rs:103-109`)
+        (d < F.lit("1995-06-01 00:00:00").cast("timestamp_ntz")).alias("before_95h2"),
+        d.between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1996-12-31 23:59:59").cast("timestamp_ntz"),
+        ).alias("in_1996"),
+        # D10 timezone convert (`datetime/tz.rs:502`): UTC→NY wall-clock offset
+        (
+            epoch_seconds(
+                F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), d)
+            )
+            - epoch_seconds(d)
+        ).alias("ny_offset_s"),
+        # D11 string parse round-trip (`utils.rs:57`)
+        epoch_seconds(
+            F.to_timestamp(
+                F.date_format(d, "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+            )
+        ).alias("reparsed_s"),
     )
 
 
@@ -229,11 +269,12 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(p_name) AS first_name,
            max(p_name) AS last_name,
            min(p_type) AS first_type,
-           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types_joined
     FROM part
     GROUP BY p_brand
     """,
-    tags=("A1", "A2", "A3"),
+    tags=("A1", "A2", "A3", "T13"),
 )
 def q25_minmax_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max over strings and categoricals (reference `min_string_array`
@@ -244,6 +285,8 @@ def q25_minmax_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_name").alias("last_name"),
         F.min("p_type").alias("first_type"),
         F.countDistinct("p_type").alias("n_types"),
+        # T13 join-to-delimited-string (`string.rs:1889`): sort for determinism
+        F.concat_ws("|", F.array_sort(F.collect_set("p_type"))).alias("types_joined"),
     )
 
 
@@ -410,4 +453,166 @@ def q53_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.groupBy("l_returnflag").agg(
         F.sum("net_c4").cast("bigint").alias("net_c4"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — boolean mask combinators + reductions (P7, P8, A8, U4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q28_bool_masks",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             l_quantity > 25 AS m1,
+             l_discount > 0.05 AS m2,
+             l_linestatus IN ('F') AS m_in
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN m1 AND m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_and,
+           CAST(SUM(CASE WHEN m1 OR m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_or,
+           CAST(SUM(CASE WHEN m1 <> m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_xor,
+           CAST(SUM(CASE WHEN NOT m1 THEN 1 ELSE 0 END) AS BIGINT) AS n_not,
+           CAST(SUM(CASE WHEN m_in THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN NOT m_in THEN 1 ELSE 0 END) AS BIGINT) AS n_not_in,
+           bool_and(m1 OR m2 OR m_in OR TRUE) AS all_true,
+           bool_or(m1 AND m2 AND FALSE) AS any_false_mask
+    FROM m GROUP BY l_returnflag
+    """,
+    tags=("P7", "P8", "A8", "U4"),
+)
+def q28_bool_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean mask algebra (reference bitmask kernels
+    `src/kernels/bitmask/std.rs:73-186`) and mask reductions
+    popcount/all_true/all_false (`bitmask/std.rs:279-336`): And/Or/Xor/Not
+    plus in/not_in membership masks, reduced per group. In Spark masks are
+    BooleanType columns; popcount = conditional sum, all/any = bool_and/
+    bool_or — all map-side combinable."""
+    l = T(spark, sf_dir, "lineitem")
+    m1 = F.col("l_quantity") > 25
+    m2 = F.col("l_discount") > 0.05
+    m_in = F.col("l_linestatus").isin("F")
+    pop = lambda m, name: F.sum(F.when(m, 1).otherwise(0)).cast("bigint").alias(name)
+    return l.groupBy("l_returnflag").agg(
+        pop(m1 & m2, "n_and"),
+        pop(m1 | m2, "n_or"),
+        pop(m1 != m2, "n_xor"),
+        pop(~m1, "n_not"),
+        pop(m_in, "n_in"),
+        pop(~m_in, "n_not_in"),
+        F.bool_and(m1 | m2 | m_in | F.lit(True)).alias("all_true"),
+        F.bool_or(m1 & m2 & F.lit(False)).alias("any_false_mask"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — portable element hash / hash partitioning (O2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_hash_buckets",
+    oracle="""
+    SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+    tags=("O2",),
+)
+def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic element-hash partitioning (reference `hash_element_at`
+    `array.rs:2419`): rows routed to 16 buckets by a portable hash (md5
+    nibble — engine-native F.hash/xxhash64 serve the same role inside Spark
+    but aren't cross-engine-comparable). Bucket histograms verify the
+    distribution is stable and complete."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — generic binary map via vectorized pandas UDF (F1, M8)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q54_binary_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey * l_linenumber + l_linenumber AS BIGINT) AS mapped
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+    tags=("F1", "M8"),
+)
+def q54_binary_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic binary map with a user closure (reference `binary_map(f, a, b)`
+    `routing/binary_map.rs:52`): an Arrow-vectorized pandas UDF — the slow
+    path relative to codegen'd expressions, but batch-vectorized (never
+    row-at-a-time Python). Integer math → exact cross-engine."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fab(a: pd.Series, b: pd.Series) -> pd.Series:
+        return a * b + b  # arbitrary user f; runs vectorized per Arrow batch
+
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        fab(F.col("l_orderkey"), F.col("l_linenumber")).alias("mapped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — Python UDTF: one row in, N rows out (F5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q55_udtf_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(string_split(text, '.')) AS frag FROM documents
+    )
+    SELECT doc_id, trim(frag) AS sentence,
+           CAST(length(trim(frag)) AS BIGINT) AS n_chars
+    FROM s WHERE trim(frag) <> ''
+    """,
+    tags=("F5",),
+)
+def q55_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, SURVEY F5): sentence-split each document — one
+    row in, N rows out, the table-function shape Catalyst can't express as a
+    scalar UDF. Runs via LATERAL join so the UDTF executes per-partition
+    (no shuffle added by the expansion itself)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_chars: long")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for frag in text.split("."):
+                frag = frag.strip()
+                if frag:
+                    yield frag, len(frag)
+
+    spark.udtf.register("mq55_sentence_split", SentenceSplit)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("mq55_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.n_chars
+        FROM mq55_docs d, LATERAL mq55_sentence_split(d.text) s
+        """
     )

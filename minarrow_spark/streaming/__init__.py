@@ -2,10 +2,12 @@ from minarrow_spark.streaming.ingest import read_event_stream, replay_dir, run_t
 from minarrow_spark.streaming.windows import (
     dedup_within_watermark,
     running_totals_per_user,
+    stream_pair_join,
     windowed_counts,
 )
 
 __all__ = [
     "read_event_stream", "replay_dir", "run_to_memory",
-    "dedup_within_watermark", "running_totals_per_user", "windowed_counts",
+    "dedup_within_watermark", "running_totals_per_user", "stream_pair_join",
+    "windowed_counts",
 ]

@@ -94,3 +94,31 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_pair_join(
+    a: DataFrame,
+    b: DataFrame,
+    watermark: str = "30 minutes",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join (ST5 — the reference's chunk-aligned binary
+    ops between streams, `broadcast/super_table.rs`): events of the same user
+    where b follows a within ``within``. Both sides carry watermarks + the
+    time-range join condition, so Spark bounds the join state (evicts rows
+    older than watermark+range) — constant memory at any stream length."""
+    wa = a.withWatermark("ts", watermark).alias("a")
+    wb = b.withWatermark("ts", watermark).alias("b")
+    return wa.join(
+        wb,
+        F.expr(
+            f"""
+            a.user_id = b.user_id AND a.event_id < b.event_id
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {within}
+            """
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("eid_a"),
+        F.col("b.event_id").alias("eid_b"),
+    )

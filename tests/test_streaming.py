@@ -109,3 +109,29 @@ def test_stateful_running_totals(spark, sf_dir, replay):
         assert final.count() == batch.count()
     finally:
         q.stop()
+
+
+def test_stream_pair_join_matches_batch(spark, sf_dir, replay):
+    from minarrow_spark.streaming import stream_pair_join
+
+    sa = read_event_stream(spark, replay)
+    sb = read_event_stream(spark, replay)
+    q = run_to_memory(stream_pair_join(sa, sb), "pairs_out", output_mode="append")
+    try:
+        streamed = spark.sql("SELECT * FROM pairs_out")
+        e = load_table(spark, sf_dir, "events")
+        a, b = e.alias("a"), e.alias("b")
+        batch = a.join(
+            b,
+            F.expr(
+                "a.user_id = b.user_id AND a.event_id < b.event_id "
+                "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 minutes"
+            ),
+        ).select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("eid_a"),
+            F.col("b.event_id").alias("eid_b"),
+        )
+        assert _canon(streamed) == _canon(batch)
+    finally:
+        q.stop()
