@@ -214,11 +214,12 @@ def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("va") < F.col("vb"))
         .select("va", "vb", "label_a", sim.alias("sim"))
     )
+    # Top-20 via orderBy+limit (TakeOrderedAndProject: per-partition top-k,
+    # k-row driver merge — no global sort shuffle), THEN rank the 20
+    # survivors with a window (tiny single partition by construction).
+    top = pairs.orderBy(F.col("sim").desc(), "va", "vb").limit(20)
     w = W.orderBy(F.col("sim").desc(), "va", "vb")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 @query(
