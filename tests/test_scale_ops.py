@@ -1,0 +1,83 @@
+"""Scale-layout operators: bucketed shuffle-free joins and skew salting.
+
+The bucketing test asserts on the *plan* (no Exchange on either join side),
+not just the result — the layout exists to delete shuffles, so the plan is
+the contract. Salting tests assert exact result equality with the unsalted
+form: salt must never change semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minarrow_spark.operators.skew import salted_agg, salted_join
+from minarrow_spark.sources.bucketing import read_table, write_bucketed
+from minarrow_spark.sources.catalog import load_table
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # managed tables land in the default warehouse dir; DROP TABLE below
+    # removes the files (spark-warehouse/ is gitignored for safety)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(l, "b_lineitem", "l_orderkey", n_buckets=4)
+    bo, bl = read_table(spark, "b_orders"), read_table(spark, "b_lineitem")
+    # disable broadcast so the join would otherwise need a full shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it computes the same thing as the unbucketed join
+        plain = l.join(o, l.l_orderkey == o.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    from minarrow_spark.functions.arithmetic import dec
+
+    salted = salted_agg(
+        l,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum(dec("l_quantity")).alias("s"),
+        ],
+        merge_aggs=[
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum("s").cast("double").alias("total_qty"),
+        ],
+        n_salts=16,
+    )
+    plain = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+    assert _canon(salted) == _canon(plain)
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey", n_salts=8
+    )
+    plain = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_custkey", "o_orderkey", "c_mktsegment"
+    )
+    assert salted.count() == plain.count()
+    assert _canon(salted.select("o_orderkey", "c_mktsegment")) == _canon(
+        plain.select("o_orderkey", "c_mktsegment")
+    )
