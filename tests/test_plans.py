@@ -1,0 +1,63 @@
+"""Plan contracts: the properties SCALE.md promises, asserted per query.
+
+These tests pin the *shape* of execution, not results (the oracle suite does
+results): filter/column pushdown reaches the parquet scan, small dims are
+broadcast, shuffle counts don't silently regress, codegen covers the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from minarrow_spark.plans import plan_summary
+from minarrow_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _summary(spark, sf_dir, name):
+    return plan_summary(QUERIES[name].fn(spark, sf_dir))
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"].fn(spark, sf_dir)
+    s = plan_summary(df, execute=True)
+    assert any("l_shipdate" in p for p in s.pushed_filters), s.pushed_filters
+    # 7 of 11 lineitem columns read — projection reached the scan
+    assert all("l_partkey" not in sch for sch in s.read_schemas), s.read_schemas
+    assert s.shuffles == 1
+    assert s.wholestage_codegen_spans >= 1
+
+
+def test_q04_broadcasts_dims(spark, sf_dir):
+    s = _summary(spark, sf_dir, "q04_segment_revenue")
+    assert s.broadcasts >= 1  # customer (and at small SF, filtered orders)
+    assert any("o_orderdate" in p for p in s.pushed_filters)
+
+
+def test_q02_all_predicates_pushed(spark, sf_dir):
+    s = _summary(spark, sf_dir, "q02_filter_project")
+    joined = " ".join(s.pushed_filters)
+    for col in ("l_quantity", "l_returnflag", "l_shipdate"):
+        assert col in joined, s.pushed_filters
+
+
+def test_q38_broadcasts_probes(spark, sf_dir):
+    s = _summary(spark, sf_dir, "q38_ann_topk")
+    assert s.broadcasts == 1
+    assert any("vec_id" in p for p in s.pushed_filters)
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("q01_pricing_summary", 1),
+        ("q10_window_topk", 1),
+        ("q45_tumbling_window", 1),
+        ("q03_top_orders", 1),  # TakeOrderedAndProject, no global sort
+        ("q04_segment_revenue", 4),
+    ],
+)
+def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
+    s = _summary(spark, sf_dir, name)
+    assert s.shuffles <= max_shuffles, (name, s)
