@@ -41,3 +41,20 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a managed (bucketed) table; Catalyst picks up the bucket spec
     and drops exchanges for joins/aggregations on the bucket key."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (`.../key=value/part-*.parquet`).
+
+    The partition column becomes directory structure, so filters on it prune
+    whole directories before any IO (static partition pruning; dynamic
+    pruning kicks in for join keys). The at-rest complement to parquet's
+    row-group min/max pruning — at 100 TB, date/tenant partitioning is what
+    keeps a day's query from touching a year's files."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*keys).parquet(path)

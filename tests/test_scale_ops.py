@@ -81,3 +81,22 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert _canon(salted.select("o_orderkey", "c_mktsegment")) == _canon(
         plain.select("o_orderkey", "c_mktsegment")
     )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from minarrow_spark.sources.bucketing import write_partitioned
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "lineitem_by_flag")
+    write_partitioned(l, path, "l_returnflag")
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("l_returnflag") == "A")
+    # the contract: the predicate lands in PartitionFilters (directory-level
+    # pruning before any IO), not in the data-filter list
+    formatted = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(l_returnflag" in formatted, formatted
+    assert pruned.count() == l.filter(F.col("l_returnflag") == "A").count()

@@ -1,0 +1,94 @@
+"""Property-based semantics pinning (hypothesis): the reference's
+small-array-with-edge-cases unit style (`src/kernels/arithmetic/mod.rs:63-509`
+— dense/masked/div-by-zero/negative suites), generalized to random vectors.
+
+Each property batches the generated examples into ONE Spark job per test
+(hypothesis drives generation, Spark evaluates the whole batch) and compares
+against plain-Python reference semantics:
+
+* floordiv → Python `//` (both round toward −∞), null on zero divisor
+* remainder → C semantics (dividend sign), null on zero divisor
+* try_div → null on zero divisor, IEEE otherwise
+* find0 → Python str.find (0-based, −1 absent)
+* char/byte length → len(s) vs len(s.encode())
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from minarrow_spark.functions.arithmetic import floordiv, remainder, try_div
+from minarrow_spark.functions.strings import byte_length, char_length, find0
+
+INTS = st.integers(min_value=-10_000, max_value=10_000)
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=24,
+)
+
+
+def _eval_pairs(spark, pairs, exprs):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return df.select(*exprs).collect()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(INTS, INTS), min_size=1, max_size=50))
+def test_int_division_semantics(spark, pairs):
+    rows = _eval_pairs(
+        spark,
+        pairs,
+        [
+            "a",
+            "b",
+            floordiv(F.col("a"), F.col("b")).alias("fd"),
+            remainder(F.col("a"), F.col("b")).alias("rem"),
+            try_div(F.col("a"), F.col("b")).alias("td"),
+        ],
+    )
+    for r in rows:
+        if r.b == 0:
+            assert r.fd is None and r.rem is None and r.td is None
+        else:
+            assert r.fd == r.a // r.b, (r.a, r.b, r.fd)
+            assert r.rem == int(math.fmod(r.a, r.b)), (r.a, r.b, r.rem)
+            assert abs(r.td - r.a / r.b) < 1e-12
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(TEXT, st.text(max_size=3)), min_size=1, max_size=30))
+def test_string_length_and_find(spark, items):
+    df = spark.createDataFrame(items, "s string, needle string")
+    rows = df.select(
+        "s",
+        char_length(F.col("s")).alias("chars"),
+        byte_length(F.col("s")).alias("bytes"),
+    ).collect()
+    for r in rows:
+        assert r.chars == len(r.s), (r.s, r.chars)
+        assert r.bytes == len(r.s.encode("utf-8")), (r.s, r.bytes)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcde ", max_size=16), st.text(alphabet="abc", min_size=1, max_size=2)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_find0_matches_python_find(spark, items):
+    df = spark.createDataFrame(items, "s string, needle string")
+    # find0 takes a literal pattern → evaluate per distinct needle
+    needles = sorted({n for _, n in items})
+    for needle in needles:
+        rows = (
+            df.filter(F.col("needle") == needle)
+            .select("s", find0(F.col("s"), needle).alias("idx"))
+            .collect()
+        )
+        for r in rows:
+            assert r.idx == r.s.find(needle), (r.s, needle, r.idx)
