@@ -30,12 +30,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+# SURVEY §1.3 widening policy: Spark has no unsigned types (and rejects
+# unsigned Arrow input outright), so unsigned columns widen to the next
+# signed type that holds the full range — Spark's own Parquet convention.
+# u64 exceeds i64 and needs decimal(20,0).
+_UNSIGNED_WIDENING: dict[pa.DataType, pa.DataType] = {
+    pa.uint8(): pa.int16(),
+    pa.uint16(): pa.int32(),
+    pa.uint32(): pa.int64(),
+    pa.uint64(): pa.decimal128(20, 0),
+}
+
+
+def _widen_unsigned(table: pa.Table) -> pa.Table:
+    fields = [
+        f.with_type(_UNSIGNED_WIDENING[f.type]) if f.type in _UNSIGNED_WIDENING else f
+        for f in table.schema
+    ]
+    target = pa.schema(fields, metadata=table.schema.metadata)
+    return table.cast(target) if target != table.schema else table
+
+
 def from_arrow(spark: SparkSession, data: pa.Table | pa.RecordBatch) -> DataFrame:
     """Arrow → DataFrame (reference `import_from_c`). Accepts a Table or a
-    single RecordBatch; schema (incl. nullability) comes from Arrow."""
+    single RecordBatch; schema (incl. nullability) comes from Arrow.
+    Unsigned integer columns are widened per the reference's type-mapping
+    table (SURVEY §1.3: u8→short, u16→int, u32→long, u64→decimal(20,0)) —
+    value-preserving over the entire unsigned range."""
     if isinstance(data, pa.RecordBatch):
         data = pa.Table.from_batches([data])
-    return spark.createDataFrame(data)
+    return spark.createDataFrame(_widen_unsigned(data))
 
 
 def to_arrow(df: DataFrame) -> pa.Table:

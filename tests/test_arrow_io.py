@@ -61,3 +61,30 @@ def test_map_in_arrow_kernel_matches_expr(spark, sf_dir):
     via_expr = df.select("s_suppkey", (F.col("s_acctbal") * 2.0).alias("dbl"))
     assert via_arrow.exceptAll(via_expr).count() == 0
     assert via_expr.exceptAll(via_arrow).count() == 0
+
+
+def test_unsigned_widening_policy(spark):
+    # SURVEY §1.3: u8→short, u16→int, u32→long, u64→decimal(20,0); the full
+    # unsigned range must survive (Spark itself rejects unsigned Arrow input).
+    from decimal import Decimal
+
+    tbl = pa.table(
+        {
+            "u8": pa.array([0, 255], pa.uint8()),
+            "u16": pa.array([0, 65535], pa.uint16()),
+            "u32": pa.array([0, 2**32 - 1], pa.uint32()),
+            "u64": pa.array([0, 2**64 - 1], pa.uint64()),
+        }
+    )
+    df = from_arrow(spark, tbl)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {
+        "u8": "smallint",
+        "u16": "int",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+    }, types
+    top = df.orderBy(F.col("u8").desc()).first()
+    assert (top.u8, top.u16, top.u32, top.u64) == (
+        255, 65535, 2**32 - 1, Decimal(2**64 - 1),
+    )
