@@ -14,13 +14,18 @@ Module map (→ SURVEY.md §2 sections):
 * eventflow   — event-time windowing / sessionization (batch forms of ST1-ST7)
 """
 
+# Import order IS driver registration/run order. Deliberate, not alphabetical:
+# the window tier runs first (round 1's driver run was cut off before it),
+# the broadest-coverage modules next, and the most expensive pipelines
+# (minhash/LSH dedup) last — so a driver-side query/time budget cuts the
+# costliest re-verifications, never an operator family's only hard signal.
 from minarrow_spark.queries import (  # noqa: F401
-    dedup,
-    eventflow,
-    funcs,
-    multimodal,
-    relational,
-    similarity,
-    textops,
     windows,
+    relational,
+    funcs,
+    textops,
+    eventflow,
+    multimodal,
+    similarity,
+    dedup,
 )

@@ -233,22 +233,35 @@ def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (COUNT(*) - 1.0) AS var_qty,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_null_qty
+             AS n_null_qty,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_orders_ok
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    tags=("A3", "A7", "A9", "A10"),
+    tags=("A3", "A4", "A7", "A9", "A10"),
 )
 def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates via exact-decimal partial sums (A9: the
     reference delegates these to its simd-kernels crate; here they're
-    order-independent by construction). Includes exact count-distinct (A3)
-    and null counting (A7)."""
+    order-independent by construction). Includes exact count-distinct (A3),
+    null counting (A7), and the HyperLogLog++ cardinality estimator (A4,
+    reference sampling estimators `utils.rs:327,348`) asserted against the
+    exact count: `approx_*_ok` is TRUE iff the rsd=0.02 sketch lands within
+    10% of COUNT(DISTINCT). The sketch is deterministic for fixed input, so
+    the boolean is a *hash-checked* error bound — strictly stronger than the
+    rows-only driver check an approximate query would otherwise get."""
     l = T(spark, sf_dir, "lineitem")
     q = dec("l_quantity")
     s1 = F.sum(q).cast("double")
     s2 = F.sum((q * q).cast("decimal(38,4)")).cast("double")
     n = F.count(F.lit(1))
+
+    def within(approx, exact, tol: float = 0.10):
+        return F.abs(approx.cast("double") - exact.cast("double")) <= (
+            tol * exact.cast("double")
+        )
+
     return l.groupBy("l_returnflag").agg(
         n.alias("n"),
         F.min("l_quantity").cast("double").alias("min_qty"),
@@ -259,6 +272,14 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_null_qty"),
+        within(
+            F.approx_count_distinct("l_partkey", 0.02),
+            F.countDistinct("l_partkey"),
+        ).alias("approx_parts_ok"),
+        within(
+            F.approx_count_distinct("l_orderkey", 0.02),
+            F.countDistinct("l_orderkey"),
+        ).alias("approx_orders_ok"),
     )
 
 
@@ -290,20 +311,8 @@ def q25_minmax_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q26_approx_distinct",
-    oracle=None,  # approximate sketch — no cross-engine oracle; rows-only check
-    tags=("A4",),
-)
-def q26_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality estimation (reference A4 sampling estimators
-    `utils.rs:327,348`). Approximate by design → rows-only driver check; the
-    exact counterpart is pinned by q24's COUNT(DISTINCT)."""
-    l = T(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-    )
+# (q26_approx_distinct was folded into q24_agg_stats as the hash-checked
+# `approx_*_ok` error-bound columns — A4 now has a hard driver signal.)
 
 
 @query(

@@ -392,11 +392,26 @@ def q14_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT
       SELECT DISTINCT o_custkey FROM orders
     )
+    UNION ALL
+    SELECT 'union_rows', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_totalprice >= 50000
+    )
+    UNION ALL
+    SELECT 'union_keys', CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM (
+      SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_totalprice >= 50000
+    )
     """,
-    tags=("U5",),
+    tags=("U1", "U5"),
 )
 def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-set intersection and difference between key domains."""
+    """Row-set algebra suite: intersection and difference between key domains
+    (U5) plus vertical concatenation of two disjoint scans (U1 — reference
+    `concat`, `src/traits/concatenate.rs:76`; union is a no-shuffle plan
+    node). One (op, n) row per set operation."""
     o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
     c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
     inter = (
@@ -405,7 +420,17 @@ def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc = (
         c.subtract(o).agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n")
     )
-    return inter.unionByName(exc)
+    ord_full = T(spark, sf_dir, "orders")
+    lo = ord_full.filter(F.col("o_totalprice") < 50000).select("o_orderkey")
+    hi = ord_full.filter(F.col("o_totalprice") >= 50000).select("o_orderkey")
+    unioned = lo.unionByName(hi)
+    u_rows = unioned.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union_rows").alias("op"), "n"
+    )
+    u_keys = unioned.agg(F.countDistinct("o_orderkey").alias("n")).select(
+        F.lit("union_keys").alias("op"), "n"
+    )
+    return inter.unionByName(exc).unionByName(u_rows).unionByName(u_keys)
 
 
 # --------------------------------------------------------------------------
@@ -414,53 +439,10 @@ def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_rollup",
+    "q16_rollup_cube",
     oracle="""
-    SELECT COALESCE(r.r_name, 'ALL') AS region,
-           COALESCE(n.n_name, 'ALL') AS nation,
-           CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
-           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-    FROM supplier s
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    JOIN region r ON r.r_regionkey = n.n_regionkey
-    GROUP BY ROLLUP (r.r_name, n.n_name)
-    """,
-    tags=("A11", "J5"),
-)
-def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals region→nation→grand (note: the reference's `Cube`
-    struct is a 3-D container, NOT OLAP CUBE — SURVEY §2.4 A11)."""
-    s = T(spark, sf_dir, "supplier")
-    n = T(spark, sf_dir, "nation")
-    r = T(spark, sf_dir, "region")
-    joined = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            F.count("s_suppkey").alias("n_suppliers"),
-            exact_sum("s_acctbal", "total_bal"),
-        )
-        .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-            "n_suppliers",
-            "total_bal",
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q16b — OLAP CUBE / grouping sets (A11)
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q16b_cube",
-    oracle="""
-    SELECT COALESCE(r_name, 'ALL') AS region,
+    SELECT 'rollup' AS form,
+           COALESCE(r_name, 'ALL') AS region,
            COALESCE(n_name, 'ALL') AS nation,
            CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
            CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
@@ -468,15 +450,27 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'cube',
+           COALESCE(r_name, 'ALL'),
+           COALESCE(n_name, 'ALL'),
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT),
+           CAST(COUNT(s_suppkey) AS BIGINT),
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
     GROUP BY CUBE (r_name, n_name)
     """,
-    tags=("A11",),
+    tags=("A11", "J5"),
 )
-def q16b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full OLAP CUBE over (region, nation) with GROUPING() markers — all
-    four grouping sets in one pass (Catalyst expands to a single shuffle
-    with partial aggregation; the `gid` column disambiguates data NULLs from
-    subtotal NULLs). Complements q16's ROLLUP (SURVEY §2.4 A11)."""
+def q16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and full OLAP CUBE over (region, nation) in one result, with
+    GROUPING() markers — Catalyst expands each to a single shuffle with
+    partial aggregation; the `gid` column disambiguates data NULLs from
+    subtotal NULLs. (The reference's `Cube` struct is a 3-D container, NOT
+    OLAP CUBE — SURVEY §2.4 A11; both grouping-set forms are pinned here.)"""
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
@@ -484,22 +478,28 @@ def q16b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    return (
-        joined.cube("r_name", "n_name")
-        .agg(
-            (F.grouping("r_name") * 2 + F.grouping("n_name"))
-            .cast("bigint")
-            .alias("gid"),
-            F.count("s_suppkey").alias("n_suppliers"),
-            exact_sum("s_acctbal", "total_bal"),
+
+    def grouped(form: str, g) -> DataFrame:
+        return (
+            g.agg(
+                (F.grouping("r_name") * 2 + F.grouping("n_name"))
+                .cast("bigint")
+                .alias("gid"),
+                F.count("s_suppkey").alias("n_suppliers"),
+                exact_sum("s_acctbal", "total_bal"),
+            )
+            .select(
+                F.lit(form).alias("form"),
+                F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                "gid",
+                "n_suppliers",
+                "total_bal",
+            )
         )
-        .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-            "gid",
-            "n_suppliers",
-            "total_bal",
-        )
+
+    return grouped("rollup", joined.rollup("r_name", "n_name")).unionByName(
+        grouped("cube", joined.cube("r_name", "n_name"))
     )
 
 
@@ -536,37 +536,7 @@ def q17_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q18 — union / concatenate (U1)
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q18_union",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
-    FROM (
-      SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
-      UNION ALL
-      SELECT o_orderkey FROM orders WHERE o_totalprice >= 50000
-    )
-    """,
-    tags=("U1",),
-)
-def q18_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertical concatenation of two disjoint scans (reference `concat`,
-    `src/traits/concatenate.rs:76`) — union is a no-shuffle plan node."""
-    o = T(spark, sf_dir, "orders")
-    lo = o.filter(F.col("o_totalprice") < 50000).select("o_orderkey")
-    hi = o.filter(F.col("o_totalprice") >= 50000).select("o_orderkey")
-    return lo.unionByName(hi).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("o_orderkey").alias("n_keys"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q19 — slice / gather (P2, P3, O3)
+# q19 — slice / gather / split-at-index suite (P2, P3, O3, U2)
 # --------------------------------------------------------------------------
 
 
@@ -577,66 +547,74 @@ def q18_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
       FROM orders
-    )
-    SELECT o_orderkey, o_totalprice, rn
-    FROM ordered
-    WHERE rn BETWEEN 101 AND 110 OR rn IN (1, 7, 500)
-    """,
-    tags=("P2", "P3", "O3"),
-)
-def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row window `.r(100..110)` + gather-by-index (reference `gather_rows`,
-    `table_view.rs:787`) expressed as row_number predicates — order is defined
-    by a unique key, so the 'slice' is stable under any partitioning."""
-    from pyspark.sql import Window as W
-
-    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = W.orderBy("o_orderkey")
-    ranked = o.withColumn("rn", F.row_number().over(w))
-    return ranked.filter(
-        F.col("rn").between(101, 110) | F.col("rn").isin(1, 7, 500)
-    )
-
-
-# --------------------------------------------------------------------------
-# q19b — split at index (U2)
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q19b_split",
-    oracle="""
-    WITH numbered AS (
+    ),
+    numbered AS (
       SELECT s_acctbal, ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn
       FROM supplier
     )
-    SELECT CASE WHEN rn <= 50 THEN 0 ELSE 1 END AS part_id,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-    FROM numbered GROUP BY 1
+    SELECT 'slice' AS op, o_orderkey AS key, CAST(rn AS BIGINT) AS n,
+           o_totalprice AS val
+    FROM ordered WHERE rn BETWEEN 101 AND 110
+    UNION ALL
+    SELECT 'gather', o_orderkey, CAST(rn AS BIGINT), o_totalprice
+    FROM ordered WHERE rn IN (1, 7, 500)
+    UNION ALL
+    SELECT 'split',
+           CAST(CASE WHEN rn <= 50 THEN 0 ELSE 1 END AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    FROM numbered GROUP BY 2
     """,
-    tags=("U2",),
+    tags=("P2", "P3", "O3", "U2"),
 )
-def q19b_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-at-index (reference `Table::split` → SuperTable,
-    `table.rs:603`): the first 50 rows in s_suppkey order vs the rest,
-    summarized per part. Uses a row_number window on the (small) supplier
-    dim; for a fact-scale split the same semantics come from a range filter
-    on the sort key (zero-shuffle, partition-prunable) — the window form here
-    pins the exact at-index semantics."""
+def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-index suite in one (op, key, n, val) result set:
+
+    * slice  — row window `.r(100..110)` (reference `ArrayV` offset+len) as
+      row_number predicates over a unique order key;
+    * gather — gather-by-index (reference `gather_rows`, `table_view.rs:787`);
+    * split  — split-at-index (reference `Table::split` → SuperTable,
+      `table.rs:603`): first 50 supplier rows vs the rest, summarized.
+
+    Order is defined by unique keys, so every index is stable under any
+    partitioning. For a fact-scale slice/split the same semantics come from
+    range filters on the sort key (zero-shuffle, partition-prunable); the
+    window form pins the exact at-index semantics on bounded inputs."""
     from pyspark.sql import Window as W
 
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = o.withColumn("rn", F.row_number().over(W.orderBy("o_orderkey")))
+    slice_rows = ranked.filter(F.col("rn").between(101, 110)).select(
+        F.lit("slice").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        F.col("rn").cast("bigint").alias("n"),
+        F.col("o_totalprice").alias("val"),
+    )
+    gather_rows = ranked.filter(F.col("rn").isin(1, 7, 500)).select(
+        F.lit("gather").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        F.col("rn").cast("bigint").alias("n"),
+        F.col("o_totalprice").alias("val"),
+    )
     s = T(spark, sf_dir, "supplier")
     numbered = s.select(
         "s_acctbal", F.row_number().over(W.orderBy("s_suppkey")).alias("rn")
     )
-    return (
+    split_rows = (
         numbered.withColumn(
-            "part_id", F.when(F.col("rn") <= 50, F.lit(0)).otherwise(F.lit(1))
+            "part_id",
+            F.when(F.col("rn") <= 50, F.lit(0)).otherwise(F.lit(1)).cast("bigint"),
         )
         .groupBy("part_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            exact_sum("s_acctbal", "total_bal"),
+            exact_sum("s_acctbal", "val"),
+        )
+        .select(
+            F.lit("split").alias("op"),
+            F.col("part_id").alias("key"),
+            "n",
+            "val",
         )
     )
+    return slice_rows.unionByName(gather_rows).unionByName(split_rows)

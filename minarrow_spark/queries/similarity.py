@@ -222,32 +222,82 @@ def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+_LSH_DIM = 64
+_LSH_PLANES = 12
+
+
+def _plane_signs(p: int) -> list[float]:
+    """Deterministic ±1 hyperplane p: sign of dim d = parity of md5("p|d").
+    Shared by the Spark pipeline and the DuckDB oracle — the same trick that
+    makes q38b's IVF exactly checkable despite being an ANN method."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest(), 16) % 2 else -1.0
+        for d in range(_LSH_DIM)
+    ]
+
+
+def _q39b_oracle() -> str:
+    """DuckDB twin of the sign-LSH pipeline. Bit-exactness notes: products
+    use the same literal ±1.0 signs; the projection is a LEFT FOLD over
+    element products (list_reduce) — identical operation order to Spark's
+    F.aggregate, so the sign bit can never diverge on rounding."""
+    bit_exprs = []
+    for p in range(_LSH_PLANES):
+        signs = "[" + ", ".join(str(s) for s in _plane_signs(p)) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {_LSH_DIM + 1}), "
+            f"i -> emb[i] * ({signs})[i]), (a, b) -> a + b)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END) AS b{p}")
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, emb, {band} AS band_id, "
+        + " || ".join(f"b{band * 4 + j}" for j in range(4))
+        + " AS band_key FROM bits"
+        for band in range(_LSH_PLANES // 4)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id, emb, {", ".join(bit_exprs)} FROM v
+    ),
+    bandrows AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.emb AS ea, b.emb AS eb
+      FROM bandrows a JOIN bandrows b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    )
+    SELECT va, vb, round(list_cosine_similarity(ea, eb), 6) AS sim
+    FROM cand WHERE round(list_cosine_similarity(ea, eb), 6) >= 0.3
+    """
+
+
 @query(
     "q39b_lsh_buckets",
-    oracle=None,  # approximate-by-design: rows-only driver check
+    oracle=_q39b_oracle(),
     tags=("similarity", "lsh"),
 )
 def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH near-dup candidates: 12 deterministic ±1 hyperplanes (md5
     parity over dim index), 3 bands × 4 bits, exact cosine verify ≥ 0.3 on
     bucket collisions only. This is the shape that survives 100 TB: no
-    all-pairs product, candidates bounded by bucket sizes."""
-    import hashlib
-
+    all-pairs product, candidates bounded by bucket sizes. The hyperplanes
+    are deterministic, so the whole *approximate* pipeline is exactly
+    oracle-checked (same construction as q38b's IVF quantizer)."""
     e = T(spark, sf_dir, "embeddings")
-    dim = 64
-    n_planes = 12
-
-    def plane_signs(p: int) -> list[int]:
-        return [
-            1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest(), 16) % 2 else -1
-            for d in range(dim)
-        ]
+    dim = _LSH_DIM
+    n_planes = _LSH_PLANES
 
     vec = F.col("embedding").cast("array<double>")
     bits = []
     for p in range(n_planes):
-        signs = F.array(*[F.lit(float(s)) for s in plane_signs(p)])
+        signs = F.array(*[F.lit(s) for s in _plane_signs(p)])
         proj = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda a, v: a + v
         )
