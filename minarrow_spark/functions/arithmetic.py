@@ -70,8 +70,24 @@ def try_div(a: Column, b: Column) -> Column:
 
 
 def floordiv(a: Column, b: Column) -> Column:
-    """Floor division toward −∞ (reference FloorDiv), null on zero divisor."""
+    """Floor division toward −∞ (reference FloorDiv), null on zero divisor.
+
+    Float path: `floor(a / b)` in double. For integral columns use
+    ``floordiv_int`` — routing through double here would silently lose
+    precision for |values| > 2^53 (`table_op` routes by dtype)."""
     return F.floor(F.try_divide(a, b))
+
+
+def floordiv_int(a: Column, b: Column) -> Column:
+    """Exact floor division for integral columns (reference FloorDiv on
+    signed ints, `src/enums/operators.rs:41-47`): Spark's truncating `div`
+    adjusted toward −∞ when the remainder is nonzero and the signs differ.
+    Stays in 64-bit integer math end-to-end — exact for the full long range,
+    where the float path degrades beyond 2^53. Null on zero divisor
+    (masked-array rule); the CASE guard keeps ANSI mode from raising."""
+    q = F.call_function("div", a, b)
+    adj = F.when(((a % b) != 0) & ((a < 0) != (b < 0)), F.lit(1)).otherwise(F.lit(0))
+    return F.when(b == 0, F.lit(None).cast("long")).otherwise(q - adj)
 
 
 def remainder(a: Column, b: Column) -> Column:
@@ -91,21 +107,32 @@ def table_op(df: DataFrame, other, op: str = "+") -> DataFrame:
     Catalyst fuses all the per-column expressions into a single projection —
     no extra passes over the data regardless of column count.
     """
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    integral = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, _INTEGRAL)
+    }
     ops = {
-        "+": lambda c, x: c + x,
-        "-": lambda c, x: c - x,
-        "*": lambda c, x: c * x,
-        "/": lambda c, x: F.try_divide(c, F.lit(x)),
-        "%": lambda c, x: remainder(c, F.lit(x)),
-        "//": lambda c, x: floordiv(c, F.lit(x)),
-        "**": lambda c, x: F.pow(c, x),
+        "+": lambda c, x, i: c + x,
+        "-": lambda c, x, i: c - x,
+        "*": lambda c, x, i: c * x,
+        "/": lambda c, x, i: F.try_divide(c, F.lit(x)),
+        "%": lambda c, x, i: remainder(c, F.lit(x)),
+        # Integral columns take the exact 64-bit path; float columns the
+        # double path — mirrors the reference's per-dtype kernel routing.
+        "//": lambda c, x, i: (
+            floordiv_int(c, F.lit(x)) if i else floordiv(c, F.lit(x))
+        ),
+        "**": lambda c, x, i: F.pow(c, x),
     }
     if op not in ops:
         raise ValueError(f"unsupported op {op!r}")
     num = set(numeric_columns(df))
+    int_scalar = isinstance(other, int) and not isinstance(other, bool)
     return df.select(
         *[
-            ops[op](F.col(c), other).alias(c) if c in num else F.col(c)
+            ops[op](F.col(c), other, c in integral and int_scalar).alias(c)
+            if c in num
+            else F.col(c)
             for c in df.columns
         ]
     )

@@ -6,6 +6,7 @@ from minarrow_spark.operators.dedup import (
     jaccard_pairs,
     jaccard_pairs_arr,
     lsh_candidates,
+    minhash_lsh_jaccard,
     minhash_signatures,
     simhash16,
 )
@@ -15,6 +16,7 @@ from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
 __all__ = [
     "augment_with_near_dups", "doc_shingle_arrays", "doc_shingles",
     "exact_dedup", "jaccard_pairs", "jaccard_pairs_arr", "lsh_candidates",
-    "minhash_signatures", "simhash16", "asof_join", "brute_force_topk",
+    "minhash_lsh_jaccard", "minhash_signatures", "simhash16", "asof_join",
+    "brute_force_topk",
     "cosine_sim",
 ]

@@ -27,12 +27,20 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     allow_exact: bool = True,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     right_ts <= left_ts (or < when ``allow_exact=False``), per ``on`` key.
 
     Left columns are all preserved; payload columns come back null when no
     earlier right row exists (left-outer as-of semantics).
+
+    ``tiebreak`` names a right-side column that uniquely orders right rows
+    sharing the same (key, ts) — the winner is the max under that order.
+    When omitted, the payload tuple itself breaks ties, which is total
+    unless two right rows carry byte-identical payloads (where the choice
+    is immaterial). Either way the attached payload is deterministic under
+    any partitioning — the engine-wide determinism rule (registry.py).
     """
     # Right rows sort before left rows at equal ts when exact matches count.
     right_tag, left_tag = (0, 1) if allow_exact else (1, 0)
@@ -41,10 +49,19 @@ def asof_join(
     for c in payload:
         lt = lt.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
 
+    tb_cols = [tiebreak] if tiebreak else payload
+    lt = lt.withColumn(
+        "__tb",
+        F.lit(None).cast(
+            right.select(F.struct(*tb_cols).alias("s")).schema["s"].dataType
+        ),
+    )
+
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
+        F.struct(*tb_cols).alias("__tb"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
     )
     for c in lt.columns:
@@ -53,9 +70,12 @@ def asof_join(
     rt = rt.select(*lt.columns)
 
     u = lt.unionByName(rt)
+    # Tie-break sorts nulls (left rows) first among equal (__ts, __tag) —
+    # irrelevant there since tags already separate sides; among right rows
+    # it makes `last()` pick the max-tiebreak payload deterministically.
     w = (
         W.partitionBy(on)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", F.col("__tb").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = u.select(

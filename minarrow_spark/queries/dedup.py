@@ -20,9 +20,7 @@ from minarrow_spark.operators.dedup import (
     augment_with_near_dups,
     doc_shingle_arrays,
     exact_dedup,
-    jaccard_pairs_arr,
-    lsh_candidates,
-    minhash_signatures,
+    minhash_lsh_jaccard,
     simhash16,
 )
 from minarrow_spark.queries._util import T
@@ -92,10 +90,14 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_CORPUS_NEAR},
     sig AS (
       SELECT doc_id,
-             min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-             min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-             min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-             min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+             min(substr(md5('0|' || shingle),  1, 8)) AS h0,
+             min(substr(md5('0|' || shingle),  9, 8)) AS h1,
+             min(substr(md5('0|' || shingle), 17, 8)) AS h2,
+             min(substr(md5('0|' || shingle), 25, 8)) AS h3,
+             min(substr(md5('1|' || shingle),  1, 8)) AS h4,
+             min(substr(md5('1|' || shingle),  9, 8)) AS h5,
+             min(substr(md5('1|' || shingle), 17, 8)) AS h6,
+             min(substr(md5('1|' || shingle), 25, 8)) AS h7
       FROM sh GROUP BY doc_id
     ),
     bandrows AS (
@@ -135,20 +137,13 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection end-to-end: shingle → 8-hash signature
-    → 4 bands → bucket join → exact jaccard verify. Signatures are computed
-    per-row from shingle arrays (zero shuffles); the only shuffles are the
-    band-bucket self-join and the two array-attach joins — no all-pairs
-    comparison anywhere."""
+    (two salted md5 passes sliced into 32-bit sub-hashes) → 4 bands → bucket
+    self-join → exact jaccard verify on colliding rows only. One pure
+    expression tree: the self-join's two sides share one exchange
+    (ReusedExchange), so the text pipeline runs once with no persist/cache
+    lifecycle — no all-pairs comparison anywhere."""
     docs = augment_with_near_dups(T(spark, sf_dir, "documents"))
-    # The shingle-array table feeds three consumers (signatures + both sides
-    # of the jaccard join) — persist it once instead of re-running the text
-    # pipeline per consumer. Same call a cluster job would make: the derived
-    # table is ~corpus-sized, far smaller than recomputation.
-    dsa = doc_shingle_arrays(docs, k=3).persist()
-    dsa.count()  # materialize once; 3 downstream branches would otherwise race-compute it
-    sig = minhash_signatures(dsa, num_hashes=8)
-    cands = lsh_candidates(sig, num_hashes=8, band_size=2)
-    jp = jaccard_pairs_arr(cands, dsa)
+    jp = minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2)
     return jp.select(
         "da", "db", "jaccard", (F.col("jaccard") >= 0.5).alias("is_near")
     )

@@ -188,6 +188,7 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         payload=["p_event_id", "p_value"],
         allow_exact=True,
+        tiebreak="p_event_id",  # unique right id → deterministic under ts ties
     )
     return joined.select(
         "event_id",

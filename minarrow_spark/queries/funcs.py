@@ -17,6 +17,7 @@ from minarrow_spark.functions.arithmetic import (
     exact_avg,
     exact_var_samp,
     floordiv,
+    floordiv_int,
     remainder,
     table_op,
     try_div,
@@ -179,6 +180,11 @@ def q22_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_extendedprice / NULLIF(l_discount, 0) AS try_div,
            CAST(FLOOR((l_quantity - 25.0) / 7.0) AS BIGINT) AS fdiv,
            CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                ELSE CAST((l_orderkey // (l_linenumber - 3))
+                          - (CASE WHEN l_orderkey % (l_linenumber - 3) <> 0
+                                   AND ((l_orderkey < 0) <> (l_linenumber - 3 < 0))
+                                  THEN 1 ELSE 0 END) AS BIGINT) END AS fdiv_int,
+           CASE WHEN l_linenumber - 3 = 0 THEN NULL
                 ELSE CAST(l_orderkey % (l_linenumber - 3) AS BIGINT) END AS rem,
            round(pow(1 + l_discount, 3), 6) AS pw,
            abs(l_quantity - 25.0) AS ab,
@@ -195,7 +201,9 @@ def q22_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference arithmetic edge semantics: div-by-zero → null (masked-array
-    rule, `operators.rs:27-30`), floordiv toward −∞ (`operators.rs:41-47`),
+    rule, `operators.rs:27-30`), floordiv toward −∞ (`operators.rs:41-47`) on
+    both the float path and the exact 64-bit integer path (DuckDB's `//`
+    truncates, so the oracle applies the same sign adjustment explicitly),
     C-style remainder, plus the unary/math family. Per-row IEEE double ops —
     bit-deterministic, no rounding needed."""
     l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
@@ -204,6 +212,9 @@ def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         try_div(F.col("l_extendedprice"), F.col("l_discount")).alias("try_div"),
         floordiv(F.col("l_quantity") - 25.0, F.lit(7.0)).cast("bigint").alias("fdiv"),
+        floordiv_int(F.col("l_orderkey"), F.col("l_linenumber") - 3)
+        .cast("bigint")
+        .alias("fdiv_int"),
         remainder(F.col("l_orderkey"), F.col("l_linenumber") - 3)
         .cast("bigint")
         .alias("rem"),

@@ -22,23 +22,32 @@ from minarrow_spark.operators.multimodal import (
 from minarrow_spark.queries._util import T
 from minarrow_spark.registry import query
 
+# Byte-exact oracle arithmetic: DuckDB md5(VARCHAR) hashes the string's
+# UTF-8 bytes (same bytes Spark's payload carries), so digest-derived
+# columns are byte-true for ANY text. n_bytes/fake_mean_px go through
+# encode() + hex() so they count/sum real UTF-8 bytes, not characters —
+# a non-ASCII document hashes identically on both sides.
 _NIB = "(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
 _BYTE0 = f"(16 * {_NIB.format(pos=1)} + {_NIB.format(pos=2)})"
 _BYTE1 = f"(16 * {_NIB.format(pos=3)} + {_NIB.format(pos=4)})"
+_HEXNIB = "(strpos('0123456789ABCDEF', substr(hex(encode(text)), {pos}, 1)) - 1)"
+_PAYLOAD_BYTE = (
+    f"(16 * {_HEXNIB.format(pos='2*i + 1')} + {_HEXNIB.format(pos='2*i + 2')})"
+)
 
 
 @query(
     "q50_multimodal_features",
     oracle=f"""
     SELECT doc_id AS media_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS digest,
            CAST(16 + {_BYTE0} % 64 AS INTEGER) AS fake_width,
            CAST(16 + {_BYTE1} % 64 AS INTEGER) AS fake_height,
            CAST(COALESCE(list_sum(list_transform(
-                  range(1, least(length(text), 256) + 1),
-                  i -> ascii(substr(text, i, 1)))), 0) AS DOUBLE)
-             / greatest(least(length(text), 256), 1) AS fake_mean_px
+                  range(0, least(octet_length(encode(text)), 256)),
+                  i -> {_PAYLOAD_BYTE})), 0) AS DOUBLE)
+             / greatest(least(octet_length(encode(text)), 256), 1) AS fake_mean_px
     FROM documents
     """,
     tags=("multimodal", "F4", "F5"),

@@ -45,6 +45,33 @@ def test_arrow_batches_stream(spark):
     assert total == 1000
 
 
+def test_arrow_batches_streams_incrementally(spark):
+    """The memory contract: the first batch arrives while later partitions
+    have not executed. Partitions ≥4 sleep 1s each — a full driver
+    materialization (the old toArrow() path) could not yield the first
+    batch before paying every sleep."""
+    import time
+
+    from pyspark import TaskContext
+
+    df = spark.range(0, 8000, numPartitions=8).select(F.col("id"))
+
+    def slow_tail(batches):
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.partitionId() >= 4:
+            time.sleep(1.0)
+        yield from batches
+
+    slow = df.mapInArrow(slow_tail, "id long")
+    t0 = time.time()
+    gen = arrow_batches(slow, batch_rows=500)
+    first = next(gen)
+    elapsed = time.time() - t0
+    gen.close()
+    assert first.num_rows > 0
+    assert elapsed < 3.0, f"first batch took {elapsed:.1f}s — not streaming"
+
+
 def test_map_in_arrow_kernel_matches_expr(spark, sf_dir):
     df = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
 

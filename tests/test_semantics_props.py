@@ -20,10 +20,20 @@ import math
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from minarrow_spark.functions.arithmetic import floordiv, remainder, try_div
+from minarrow_spark.functions.arithmetic import (
+    floordiv,
+    floordiv_int,
+    remainder,
+    try_div,
+)
 from minarrow_spark.functions.strings import byte_length, char_length, find0
 
 INTS = st.integers(min_value=-10_000, max_value=10_000)
+# Full signed-64 range minus the lone overflow case (LONG_MIN // -1): pins
+# that the integer floordiv path is exact where the double path loses
+# precision (|quotient| > 2^53) — the reference's checked signed-int
+# FloorDiv (`src/enums/operators.rs:41-47`).
+BIGINTS = st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1)
 TEXT = st.text(
     alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
     max_size=24,
@@ -56,6 +66,21 @@ def test_int_division_semantics(spark, pairs):
             assert r.fd == r.a // r.b, (r.a, r.b, r.fd)
             assert r.rem == int(math.fmod(r.a, r.b)), (r.a, r.b, r.rem)
             assert abs(r.td - r.a / r.b) < 1e-12
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(BIGINTS, BIGINTS), min_size=1, max_size=50))
+def test_int_floordiv_exact_full_range(spark, pairs):
+    rows = _eval_pairs(
+        spark,
+        pairs,
+        ["a", "b", floordiv_int(F.col("a"), F.col("b")).alias("fd")],
+    )
+    for r in rows:
+        if r.b == 0:
+            assert r.fd is None
+        else:
+            assert r.fd == r.a // r.b, (r.a, r.b, r.fd)
 
 
 @settings(max_examples=20, deadline=None)
