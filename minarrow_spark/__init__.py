@@ -30,8 +30,10 @@ from minarrow_spark.session import get_spark
 from minarrow_spark.sources.arrow_io import (
     arrow_batches,
     from_arrow,
+    from_matrix,
     map_in_arrow,
     to_arrow,
+    to_matrix,
 )
 from minarrow_spark.sources.catalog import load_table, load_tables, register_views
 
@@ -39,10 +41,12 @@ __all__ = [
     "all_queries",
     "arrow_batches",
     "from_arrow",
+    "from_matrix",
     "get_spark",
     "load_table",
     "load_tables",
     "map_in_arrow",
     "register_views",
     "to_arrow",
+    "to_matrix",
 ]

@@ -64,6 +64,24 @@ def exact_var_samp(col: Column | str, alias: str, ddof: int = 1) -> Column:
     return ((s2 - s1 * s1 / n) / (n - F.lit(float(ddof)))).alias(alias)
 
 
+def checked_cast(col: Column, target: str) -> Column:
+    """Narrowing cast with checked semantics: null on overflow, never a
+    silent wraparound.
+
+    The reference's 61-impl cast matrix narrows via checked ``TryFrom``
+    (`/root/reference/src/conversions.rs:80-1000`) — out-of-range values
+    become an error/None, not a truncated bit pattern. Spark's plain
+    ``cast`` with ANSI off silently wraps (int64→int32 keeps the low 32
+    bits); ``try_cast`` is the engine's checked path and behaves the same
+    under either ANSI setting. Policy: every narrowing conversion at the
+    engine boundary goes through here → out-of-range maps to null (the
+    masked-array rule, same as division by zero). Property-pinned against
+    Python range semantics in tests/test_semantics_props.py. The widening
+    direction needs no checks — see the unsigned-widening table in
+    sources/arrow_io.py."""
+    return col.try_cast(target)
+
+
 def try_div(a: Column, b: Column) -> Column:
     """Division that nullifies on zero divisor (reference masked-array rule)."""
     return F.try_divide(a, b)

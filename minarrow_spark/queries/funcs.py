@@ -393,7 +393,9 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of three lineitem measures in long form
     (var_a, var_b, cov) — the reference's dense `Matrix` + Table↔Matrix cast
     story (`src/structs/matrix.rs:74,410-827`) re-expressed as a distributed
-    aggregation: ONE scan + ONE single-row reduce producing all n² cells
+    aggregation (the boundary-API counterpart is `sources.arrow_io.to_matrix`
+    / `from_matrix`, cross-checked against numpy.cov in tests/test_arrow_io):
+    ONE scan + ONE single-row reduce producing all n² cells
     (partial aggregation map-side; no per-pair passes). Sums are exact
     decimals so the result is order-independent; the covariance itself is a
     scalar double expression evaluated identically in both engines."""

@@ -41,25 +41,105 @@ _UNSIGNED_WIDENING: dict[pa.DataType, pa.DataType] = {
     pa.uint64(): pa.decimal128(20, 0),
 }
 
+# Spark column-metadata key recording the original Arrow type of any column
+# the import boundary had to convert (the reference keeps the same note as
+# Field metadata — SURVEY §1.3).
+ARROW_TYPE_META_KEY = "minarrow_spark.arrow_type"
 
-def _widen_unsigned(table: pa.Table) -> pa.Table:
-    fields = [
-        f.with_type(_UNSIGNED_WIDENING[f.type]) if f.type in _UNSIGNED_WIDENING else f
-        for f in table.schema
-    ]
-    target = pa.schema(fields, metadata=table.schema.metadata)
-    return table.cast(target) if target != table.schema else table
+_MDN_STRUCT = pa.struct(
+    [("months", pa.int32()), ("days", pa.int32()), ("nanoseconds", pa.int64())]
+)
+
+
+def _rebuild(col: pa.ChunkedArray, target: pa.DataType) -> pa.ChunkedArray:
+    """Value-level rebuild for types pyarrow cannot cast yet (the *_view
+    family in pyarrow 16). Driver-side boundary cost only."""
+    return pa.chunked_array([pa.array(col.to_pylist(), target)])
+
+
+def _import_column(
+    col: pa.ChunkedArray, t: pa.DataType
+) -> tuple[pa.ChunkedArray, pa.DataType, str | None]:
+    """Normalize one column to a Spark-importable Arrow type.
+
+    Returns (column, new_type, original_type_str-or-None). Mirrors the
+    reference's import matrix (`src/ffi/arrow_dtype.rs:81-141`):
+
+    * dictionary          → decoded to the value type (then re-normalized)
+    * unsigned ints       → widened signed (u64 → decimal(20,0))
+    * time32[s|ms]        → time64[us] (Spark TimeType, µs precision)
+    * time64[ns]          → time64[us] (truncating — Spark is µs-native,
+                            the same policy Spark applies to parquet nanos)
+    * duration[s|ms|ns]   → duration[us] (→ DayTimeIntervalType; ns truncates)
+    * date64              → date32
+    * utf8_view/large     → utf8 (the reference flattens Utf8View the same
+                            way — pyo3/README.md "Utf8View import")
+    * binary_view         → binary
+    * month_day_nano      → struct<months,days,nanoseconds> (Spark has no
+                            constructible calendar-interval column type)
+    """
+    import pyarrow.compute as pc
+
+    orig = str(t)
+    if pa.types.is_dictionary(t):
+        col = col.cast(t.value_type)
+        inner, new_t, _ = _import_column(col, t.value_type)
+        return inner, new_t, orig
+    if t in _UNSIGNED_WIDENING:
+        new_t = _UNSIGNED_WIDENING[t]
+        return col.cast(new_t), new_t, orig
+    if pa.types.is_time32(t) or (pa.types.is_time64(t) and t.unit == "ns"):
+        new_t = pa.time64("us")
+        return pc.cast(col, new_t, safe=False), new_t, orig
+    if pa.types.is_duration(t) and t.unit != "us":
+        new_t = pa.duration("us")
+        return pc.cast(col, new_t, safe=False), new_t, orig
+    if t == pa.date64():
+        return col.cast(pa.date32()), pa.date32(), orig
+    if t == pa.string_view():
+        return _rebuild(col, pa.string()), pa.string(), orig
+    if t == pa.binary_view():
+        return _rebuild(col, pa.binary()), pa.binary(), orig
+    if t == pa.month_day_nano_interval():
+        vals = [
+            None
+            if v is None
+            else {"months": v.months, "days": v.days, "nanoseconds": v.nanoseconds}
+            for v in col.to_pylist()
+        ]
+        return pa.chunked_array([pa.array(vals, _MDN_STRUCT)]), _MDN_STRUCT, orig
+    return col, t, None
 
 
 def from_arrow(spark: SparkSession, data: pa.Table | pa.RecordBatch) -> DataFrame:
     """Arrow → DataFrame (reference `import_from_c`). Accepts a Table or a
     single RecordBatch; schema (incl. nullability) comes from Arrow.
-    Unsigned integer columns are widened per the reference's type-mapping
-    table (SURVEY §1.3: u8→short, u16→int, u32→long, u64→decimal(20,0)) —
-    value-preserving over the entire unsigned range."""
+
+    Columns outside Spark's native Arrow surface are normalized per the
+    policy in ``_import_column`` (unsigned widening, dictionary decode,
+    time/duration/date/view conversions); each converted column records its
+    original Arrow type under ``ARROW_TYPE_META_KEY`` in the Spark column
+    metadata, so the mapping is inspectable and reversible at the API level
+    — the reference keeps the identical note in Field metadata
+    (SURVEY §1.3, `src/ffi/arrow_dtype.rs:81-141`)."""
     if isinstance(data, pa.RecordBatch):
         data = pa.Table.from_batches([data])
-    return spark.createDataFrame(_widen_unsigned(data))
+    cols: list[pa.ChunkedArray] = []
+    fields: list[pa.Field] = []
+    converted: dict[str, str] = {}
+    for i, f in enumerate(data.schema):
+        col, new_t, orig = _import_column(data.column(i), f.type)
+        cols.append(col)
+        fields.append(pa.field(f.name, new_t, f.nullable))
+        if orig is not None:
+            converted[f.name] = orig
+    norm = pa.Table.from_arrays(
+        cols, schema=pa.schema(fields, metadata=data.schema.metadata)
+    )
+    df = spark.createDataFrame(norm)
+    for name, orig in converted.items():
+        df = df.withMetadata(name, {ARROW_TYPE_META_KEY: orig})
+    return df
 
 
 def to_arrow(df: DataFrame) -> pa.Table:
@@ -93,6 +173,51 @@ def arrow_batches(
             buf = []
     if buf:
         yield pa.RecordBatch.from_pylist(buf, schema=schema)
+
+
+def to_matrix(df: DataFrame, cols: list[str] | None = None):
+    """DataFrame → dense 2-D numpy matrix (rows × cols) at the driver, via
+    one Arrow collection — the reference's Table→Matrix cast
+    (`src/structs/matrix.rs:410,448` `to_matrix`/`to_matrix_view`).
+
+    ``cols`` defaults to every numeric column. Like the reference's, this is
+    a *boundary* API: the result is driver-resident (use it to hand a
+    modest aggregate/sample to numpy/sklearn), not a distributed structure
+    — distributed linear algebra stays in DataFrame land (q52's covariance
+    is the worked example)."""
+    import numpy as np
+
+    from minarrow_spark.functions.arithmetic import numeric_columns
+
+    cols = cols or numeric_columns(df)
+    tbl = df.select(*cols).toArrow()
+    if tbl.num_rows == 0:
+        return np.empty((0, len(cols)), dtype=np.float64)
+    return np.column_stack(
+        [
+            tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ]
+    )
+
+
+def from_matrix(
+    spark: SparkSession, mat, names: list[str] | None = None
+) -> DataFrame:
+    """numpy 2-D matrix → DataFrame, one column per matrix column, via the
+    Arrow import path — the reference's Matrix→Table cast
+    (`src/structs/matrix.rs:484,827` `from_matrix` / `From<Matrix>`).
+    Column names default to c0..c{n-1}."""
+    import numpy as np
+
+    mat = np.asarray(mat)
+    if mat.ndim != 2:
+        raise ValueError(f"expected a 2-D matrix, got shape {mat.shape}")
+    names = names or [f"c{i}" for i in range(mat.shape[1])]
+    if len(names) != mat.shape[1]:
+        raise ValueError(f"{len(names)} names for {mat.shape[1]} columns")
+    tbl = pa.table({n: pa.array(mat[:, i]) for i, n in enumerate(names)})
+    return from_arrow(spark, tbl)
 
 
 def map_in_arrow(

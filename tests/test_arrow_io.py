@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 from minarrow_spark.sources.arrow_io import (
     arrow_batches,
     from_arrow,
+    from_matrix,
     map_in_arrow,
     to_arrow,
+    to_matrix,
 )
 from minarrow_spark.sources.catalog import load_table
 
@@ -88,6 +90,92 @@ def test_map_in_arrow_kernel_matches_expr(spark, sf_dir):
     via_expr = df.select("s_suppkey", (F.col("s_acctbal") * 2.0).alias("dbl"))
     assert via_arrow.exceptAll(via_expr).count() == 0
     assert via_expr.exceptAll(via_arrow).count() == 0
+
+
+def test_matrix_roundtrip_and_cov(spark, sf_dir):
+    """Table↔Matrix boundary (reference `src/structs/matrix.rs:410-827`):
+    numpy round-trip, and the matrix view cross-checks q52's distributed
+    covariance against numpy's."""
+    import numpy as np
+
+    from minarrow_spark.registry import all_queries
+
+    mat = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 10.0]])
+    df = from_matrix(spark, mat, ["x", "y", "z"])
+    assert df.columns == ["x", "y", "z"]
+    back = to_matrix(df.orderBy("x"))
+    assert np.array_equal(back, mat)
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    m = to_matrix(li, cols)
+    np_cov = np.cov(m, rowvar=False, ddof=0)
+    q52 = all_queries()["q52_cov_matrix"].fn(spark, sf_dir).collect()
+    got = {(r.var_a, r.var_b): r.cov for r in q52}
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            assert abs(got[(a, b)] - np_cov[i, j]) < 1e-6, (a, b)
+
+
+def test_import_type_matrix(spark):
+    """Per-type import coverage mirroring the reference's FFI matrix
+    (`src/ffi/arrow_dtype.rs:81-141`; test style of
+    `pyo3/tests/atomic_tests.rs:60-130`): dictionary decode, time32/time64,
+    duration, date64, utf8/binary views, month-day-nano intervals. Each
+    converted column records its original Arrow type in Spark column
+    metadata."""
+    import datetime
+
+    from minarrow_spark.sources.arrow_io import ARROW_TYPE_META_KEY
+
+    tbl = pa.table(
+        {
+            "dict_s": pa.array(["a", "b", "a", None]).dictionary_encode(),
+            "t32s": pa.array([1, 2, None, 86399], pa.time32("s")),
+            "t64ns": pa.array([1_500, None, 2_000, 3_000], pa.time64("ns")),
+            "dur_ms": pa.array([1_000, 2_500, None, 0], pa.duration("ms")),
+            "d64": pa.array([86_400_000, 0, None, 172_800_000], pa.date64()),
+            "sv": pa.array(["x", None, "yy", "zzz"], pa.string_view()),
+            "bv": pa.array([b"x", b"yy", None, b""], pa.binary_view()),
+            "mdn": pa.array(
+                [(1, 2, 3), None, (0, 0, 0), (-1, -2, -3)],
+                pa.month_day_nano_interval(),
+            ),
+        }
+    )
+    df = from_arrow(spark, tbl)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {
+        "dict_s": "string",
+        "t32s": "time(6)",
+        "t64ns": "time(6)",
+        "dur_ms": "interval day to second",
+        "d64": "date",
+        "sv": "string",
+        "bv": "binary",
+        "mdn": "struct<months:int,days:int,nanoseconds:bigint>",
+    }, types
+    rows = df.collect()
+    assert [r.dict_s for r in rows] == ["a", "b", "a", None]
+    assert rows[0].t32s == datetime.time(0, 0, 1)
+    assert rows[3].t32s == datetime.time(23, 59, 59)
+    assert rows[0].t64ns == datetime.time(0, 0, 0, 1)  # 1500ns → 1µs truncation
+    assert rows[0].dur_ms == datetime.timedelta(seconds=1)
+    assert rows[0].d64 == datetime.date(1970, 1, 2)
+    assert [r.sv for r in rows] == ["x", None, "yy", "zzz"]
+    assert [r.bv for r in rows] == [bytearray(b"x"), bytearray(b"yy"), None, bytearray(b"")]
+    assert rows[0].mdn.asDict() == {"months": 1, "days": 2, "nanoseconds": 3}
+    assert rows[3].mdn.asDict() == {"months": -1, "days": -2, "nanoseconds": -3}
+    # provenance metadata for every converted column
+    meta = {f.name: f.metadata.get(ARROW_TYPE_META_KEY) for f in df.schema.fields}
+    assert meta["dict_s"].startswith("dictionary")
+    assert meta["t32s"] == "time32[s]"
+    assert meta["t64ns"] == "time64[ns]"
+    assert meta["dur_ms"] == "duration[ms]"
+    assert meta["d64"] == "date64[ms]"
+    assert meta["sv"] == "string_view"
+    assert meta["bv"] == "binary_view"
+    assert meta["mdn"] == "month_day_nano_interval"
 
 
 def test_unsigned_widening_policy(spark):

@@ -83,6 +83,36 @@ def test_int_floordiv_exact_full_range(spark, pairs):
             assert r.fd == r.a // r.b, (r.a, r.b, r.fd)
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(BIGINTS, INTS), min_size=1, max_size=50))
+def test_checked_narrowing_cast(spark, pairs):
+    """Narrowing-cast policy (reference checked TryFrom,
+    `conversions.rs:80-1000`): out-of-range → null, in-range → identity.
+    Never a silent wraparound."""
+    from minarrow_spark.functions.arithmetic import checked_cast
+
+    rows = _eval_pairs(
+        spark,
+        pairs,
+        [
+            "a",
+            checked_cast(F.col("a"), "int").alias("i32"),
+            checked_cast(F.col("a"), "smallint").alias("i16"),
+            checked_cast(F.col("a"), "tinyint").alias("i8"),
+        ],
+    )
+    for r in rows:
+        for val, lo, hi in (
+            (r.i32, -(2**31), 2**31 - 1),
+            (r.i16, -(2**15), 2**15 - 1),
+            (r.i8, -(2**7), 2**7 - 1),
+        ):
+            if lo <= r.a <= hi:
+                assert val == r.a, (r.a, val)
+            else:
+                assert val is None, (r.a, val)
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.tuples(TEXT, st.text(max_size=3)), min_size=1, max_size=30))
 def test_string_length_and_find(spark, items):
