@@ -1,3 +1,9 @@
+from minarrow_spark.operators.sampling import (
+    hash_sample,
+    sample_mask,
+    stratified_hash_sample,
+    train_test_split,
+)
 from minarrow_spark.operators.dedup import (
     augment_with_near_dups,
     doc_shingle_arrays,
@@ -17,6 +23,7 @@ __all__ = [
     "augment_with_near_dups", "doc_shingle_arrays", "doc_shingles",
     "exact_dedup", "jaccard_pairs", "jaccard_pairs_arr", "lsh_candidates",
     "minhash_lsh_jaccard", "minhash_signatures", "simhash16", "asof_join",
-    "brute_force_topk",
+    "brute_force_topk", "hash_sample", "sample_mask",
+    "stratified_hash_sample", "train_test_split",
     "cosine_sim",
 ]

@@ -118,6 +118,7 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     tags=("ST7", "sessionization"),
+    bench=True,  # tracks the stateful/sessionization tier round-over-round
 )
 def q47_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-min inactivity gap: lag → new-session flag →

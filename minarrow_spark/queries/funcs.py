@@ -441,6 +441,7 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     tags=("F4", "S2", "S5"),
+    bench=True,  # tracks the Python/Arrow-boundary tier round-over-round
 )
 def q53_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Arrow kernel via the engine's escape hatch (the reference's
@@ -535,23 +536,51 @@ def q28_bool_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "q29_hash_buckets",
-    oracle="""
+def _q29_oracle() -> str:
+    from minarrow_spark.operators.sampling import hex_threshold
+
+    h = "substr(md5('s|' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    hs = "substr(md5('split|' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    return f"""
     SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN {h} < '{hex_threshold(0.1)}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_s10,
+           CAST(SUM(CASE WHEN {hs} < '{hex_threshold(0.2)}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN {hs} >= '{hex_threshold(0.2)}'
+                          AND {hs} < '{hex_threshold(0.3)}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_val,
+           CAST(SUM(CASE WHEN {hs} >= '{hex_threshold(0.3)}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train
     FROM orders GROUP BY 1
-    """,
-    tags=("O2",),
+    """
+
+
+@query(
+    "q29_hash_buckets",
+    oracle=_q29_oracle(),
+    tags=("O2", "sampling"),
 )
 def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic element-hash partitioning (reference `hash_element_at`
     `array.rs:2419`): rows routed to 16 buckets by a portable hash (md5
     nibble — engine-native F.hash/xxhash64 serve the same role inside Spark
     but aren't cross-engine-comparable). Bucket histograms verify the
-    distribution is stable and complete."""
-    o = T(spark, sf_dir, "orders")
+    distribution is stable and complete.
+
+    Also exercises the deterministic hash-sampling operators
+    (operators/sampling.py — the reproducible 100 TB alternative to per-row
+    RNG `df.sample()`): per-bucket counts of a 10% key-hash sample and of
+    the 20/10/70 train_test_split tiers, hash-checked against the oracle
+    reproducing the identical md5-threshold math."""
+    from minarrow_spark.operators.sampling import sample_mask, train_test_split
+
+    o = train_test_split(
+        T(spark, sf_dir, "orders"), key="o_orderkey", test=0.2, val=0.1
+    )
+    pop = lambda m, name: F.sum(F.when(m, 1).otherwise(0)).cast("bigint").alias(name)
     return (
         o.groupBy(
             F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias("bucket")
@@ -559,6 +588,10 @@ def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            pop(sample_mask(F.col("o_orderkey"), 0.1, "s"), "n_s10"),
+            pop(F.col("split") == "test", "n_test"),
+            pop(F.col("split") == "val", "n_val"),
+            pop(F.col("split") == "train", "n_train"),
         )
     )
 

@@ -94,6 +94,7 @@ def main() -> None:
         ("text analysis (tokens, lang-ID, quality, fingerprint)", "text"),
         ("multimodal binary columns", "multimodal"),
         ("streaming/event-time", "streaming"),
+        ("deterministic hash sampling / train-test splits", "sampling"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})

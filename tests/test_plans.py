@@ -48,6 +48,14 @@ def test_q38_broadcasts_probes(spark, sf_dir):
     assert any("vec_id" in p for p in s.pushed_filters)
 
 
+def test_q35_candidates_broadcast(spark, sf_dir):
+    """The jaccard attach joins must broadcast the candidate side — the
+    corpus-sized shingle-array table never shuffles (SCALE.md dedup §)."""
+    s = _summary(spark, sf_dir, "q35_dedup_minhash")
+    assert s.broadcasts >= 1, s
+    assert s.shuffles <= 5, s  # sig agg + band self-join + cand distinct
+
+
 @pytest.mark.parametrize(
     "name,max_shuffles",
     [

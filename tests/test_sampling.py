@@ -1,0 +1,80 @@
+"""Deterministic hash-sampling operators (operators/sampling.py): the
+properties per-row RNG sampling cannot give — reproducibility, cross-table
+alignment, leak-proof splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minarrow_spark.operators.sampling import (
+    hash_sample,
+    hex_threshold,
+    stratified_hash_sample,
+    train_test_split,
+)
+from minarrow_spark.sources.catalog import load_table
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "g"  # sorts after every hex digit → keep all
+    assert hex_threshold(0.5) == "80000000"
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    s1 = hash_sample(o, "o_orderkey", 0.2)
+    s2 = hash_sample(o, "o_orderkey", 0.2)
+    assert s1.count() == s2.count()
+    assert s1.exceptAll(s2).count() == 0  # identical rows, not just counts
+    frac = s1.count() / o.count()
+    assert 0.15 < frac < 0.25, frac
+    # independent salt → different (but equally sized-ish) sample
+    s3 = hash_sample(o, "o_orderkey", 0.2, salt="other")
+    assert s3.exceptAll(s1).count() > 0
+
+
+def test_hash_sample_aligns_across_tables(spark, sf_dir):
+    """Sampling orders and lineitem by the SAME key keeps them joinable:
+    every sampled lineitem's order is in the sampled orders — the property
+    that makes hash sampling the 100 TB tool."""
+    o = hash_sample(load_table(spark, sf_dir, "orders"), "o_orderkey", 0.1)
+    l = hash_sample(
+        load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        "o_orderkey",
+        0.1,
+    )
+    orphans = l.join(o, "o_orderkey", "left_anti")
+    assert orphans.count() == 0
+
+
+def test_stratified_fractions(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in d.select("source").distinct().collect()]
+    keep_all, keep_none = sources[0], sources[1]
+    s = stratified_hash_sample(
+        d, key="doc_id", strata="source",
+        fractions={keep_all: 1.0, keep_none: 0.0}, default=0.5,
+    )
+    per = {r.source: r.n for r in s.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per.get(keep_all) == base[keep_all]
+    assert keep_none not in per
+    # default-rate strata: assert the aggregate (per-stratum n is tiny at
+    # test SF, binomial noise would flake a per-stratum bound)
+    kept = sum(per.get(s, 0) for s in sources[2:])
+    total = sum(base[s] for s in sources[2:])
+    assert 0.38 * total < kept < 0.62 * total, (kept, total)
+
+
+def test_train_test_split_disjoint_exhaustive(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = train_test_split(c, "c_custkey", test=0.2, val=0.1)
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == c.count()  # exhaustive
+    assert set(counts) <= {"train", "val", "test"}
+    # deterministic: rerun assigns identical splits
+    s2 = train_test_split(c, "c_custkey", test=0.2, val=0.1)
+    assert s.exceptAll(s2).count() == 0
