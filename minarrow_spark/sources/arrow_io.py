@@ -142,6 +142,20 @@ def from_arrow(spark: SparkSession, data: pa.Table | pa.RecordBatch) -> DataFram
     return df
 
 
+def from_arrow_batches(
+    spark: SparkSession, batches: "Iterator[pa.RecordBatch] | list[pa.RecordBatch]"
+) -> DataFrame:
+    """RecordBatch stream → DataFrame (the import direction of the
+    reference's stream FFI, `arrow_c_ffi.rs:2415,2550`): drains the
+    iterator into one Arrow table and imports through the same
+    normalization policy as ``from_arrow``. Ingesting into a distributed
+    engine necessarily materializes the stream driver-side before the
+    parallelize — for unbounded streams use Structured Streaming sources
+    (minarrow_spark.streaming), not this boundary API."""
+    tbl = pa.Table.from_batches(list(batches))
+    return from_arrow(spark, tbl)
+
+
 def to_arrow(df: DataFrame) -> pa.Table:
     """DataFrame → Arrow table at the driver (reference `export_to_c`)."""
     return df.toArrow()

@@ -47,6 +47,18 @@ def test_arrow_batches_stream(spark):
     assert total == 1000
 
 
+def test_arrow_batch_stream_roundtrip(spark):
+    """Export stream → import stream → identical table (reference stream
+    FFI round-trip, `arrow_c_ffi.rs:2104-2660`)."""
+    from minarrow_spark.sources.arrow_io import from_arrow_batches
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    back = from_arrow_batches(spark, arrow_batches(df, batch_rows=128))
+    assert back.schema == df.schema
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+
+
 def test_arrow_batches_streams_incrementally(spark):
     """The memory contract: the first batch arrives while later partitions
     have not executed. Partitions ≥4 sleep 1s each — a full driver
