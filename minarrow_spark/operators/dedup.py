@@ -90,23 +90,33 @@ def doc_shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(dsa: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """Minhash signature per doc: h_i = min(md5(i || '|' || shingle)).
+    """Minhash signature per doc (composable per-row form):
+    h_i = min over shingles of substr(md5(⌊i/4⌋ || '|' || shingle), 8(i%4)+1, 8).
 
-    Lexicographic min over md5 hex = a uniform minhash (hex order is byte
-    order). Computed per-row from the shingle array (array_min ∘ transform):
-    ZERO shuffles for any signature width — the groupBy formulation this
-    replaces shuffled the full shingle table. Docs with no shingles yield
-    null signatures and drop out of banding naturally."""
-    def salted(i: int):
+    Lexicographic min over fixed-width md5-hex slices = a uniform 32-bit
+    minhash (hex order is byte order). The hash DEFINITION is identical to
+    the fused ``minhash_lsh_jaccard`` pipeline (equivalence pinned in
+    tests/test_scale_ops.py), so the composable pieces and the fused
+    operator are interchangeable. Computed per-row from the shingle array
+    (array_min ∘ transform): ZERO shuffles for any signature width — but
+    higher-order lambdas evaluate interpreted, so the fused operator's
+    explode→map-side-combined-groupBy form is the faster hot path (see its
+    docstring). Docs with no shingles yield null signatures and drop out of
+    banding naturally."""
+    if num_hashes % 4 != 0:
+        raise ValueError("num_hashes must be a multiple of 4 (md5 slice packing)")
+
+    def sliced(i: int):
         # NB: must be a 1-arg lambda — F.transform passes (element, index)
         # to 2-arg callables, which would corrupt the salt.
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+        prefix = f"{i // 4}|"
+        pos = 1 + 8 * (i % 4)
+        return lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), pos, 8)
 
     return dsa.select(
         "doc_id",
         *[
-            F.array_min(F.transform(F.col("sh_arr"), salted(i))).alias(f"h{i}")
+            F.array_min(F.transform(F.col("sh_arr"), sliced(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

@@ -48,6 +48,31 @@ def test_q38_broadcasts_probes(spark, sf_dir):
     assert any("vec_id" in p for p in s.pushed_filters)
 
 
+def test_global_plan_contracts(spark, sf_dir):
+    """Engine-wide plan regression net, every registered query:
+
+    * no CartesianProduct anywhere (non-equi joins must plan as broadcast
+      nested-loop with a tiny side; all-pairs tiers are built as broadcast
+      joins over bounded inputs);
+    * shuffle count bounded (worst legitimate cases today: q37's
+      multi-join gram pipeline at 10, q15's set-op suite at 9 — a query
+      suddenly exceeding 12 means a broadcast silently degraded or a
+      distinct/repartition crept in).
+    """
+    from minarrow_spark.plans.inspect import _executed_plan
+
+    offenders = []
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        plan = _executed_plan(df)
+        s = plan_summary(df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if s.shuffles > 12:
+            offenders.append((name, f"{s.shuffles} shuffles"))
+    assert not offenders, offenders
+
+
 def test_q35_candidates_broadcast(spark, sf_dir):
     """The jaccard attach joins must broadcast the candidate side — the
     corpus-sized shingle-array table never shuffles (SCALE.md dedup §)."""

@@ -100,3 +100,26 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(l_returnflag" in formatted, formatted
     assert pruned.count() == l.filter(F.col("l_returnflag") == "A").count()
+
+
+def test_minhash_composed_equals_fused(spark, sf_dir):
+    """The composable pieces (minhash_signatures → lsh_candidates →
+    jaccard_pairs_arr) and the fused minhash_lsh_jaccard operator share one
+    hash definition and must produce identical near-dup pairs — users can
+    mix tiers without changing results."""
+    from minarrow_spark.operators.dedup import (
+        augment_with_near_dups,
+        doc_shingle_arrays,
+        jaccard_pairs_arr,
+        lsh_candidates,
+        minhash_lsh_jaccard,
+        minhash_signatures,
+    )
+
+    docs = augment_with_near_dups(load_table(spark, sf_dir, "documents"))
+    dsa = doc_shingle_arrays(docs, k=3)
+    sig = minhash_signatures(dsa, num_hashes=8)
+    cands = lsh_candidates(sig, num_hashes=8, band_size=2)
+    composed = jaccard_pairs_arr(cands, dsa).select("da", "db", "jaccard")
+    fused = minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2)
+    assert _canon(composed) == _canon(fused)

@@ -111,6 +111,29 @@ def test_stateful_running_totals(spark, sf_dir, replay):
         q.stop()
 
 
+def test_hash_sampling_in_stream_matches_batch(spark, sf_dir, replay):
+    """Deterministic hash sampling is a stateless projection+filter, so the
+    identical operator applies under Structured Streaming and selects the
+    SAME rows the batch form selects — the reproducibility property that
+    makes it the right sampling tool for continuous ingestion."""
+    from minarrow_spark.operators.sampling import sample_mask
+
+    stream = read_event_stream(spark, replay)
+    sampled = stream.filter(sample_mask(F.col("event_id"), 0.2)).select("event_id")
+    q = run_to_memory(sampled, "sample_out", output_mode="append")
+    try:
+        streamed = spark.sql("SELECT * FROM sample_out")
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .filter(sample_mask(F.col("event_id"), 0.2))
+            .select("event_id")
+        )
+        assert _canon(streamed) == _canon(batch)
+        assert streamed.count() > 0
+    finally:
+        q.stop()
+
+
 def test_stream_pair_join_matches_batch(spark, sf_dir, replay):
     from minarrow_spark.streaming import stream_pair_join
 
