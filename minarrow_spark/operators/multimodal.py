@@ -69,11 +69,15 @@ def fake_decode(payload: bytes) -> tuple[int, int, float]:
     return (width, height, float(mean_px))
 
 
-def extract_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
-    One Arrow batch in → one feature frame out per iteration; bounded memory
-    regardless of per-row payload size."""
+    One Arrow batch in → one feature frame out per iteration; peak task
+    memory is one batch. Batch size is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for fat media rows
+    (MBs per payload) set it low (e.g. 64) in the session so
+    rows-per-batch × payload size stays inside the Python worker budget;
+    the engine default (session.py) is tuned for slim rows."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
