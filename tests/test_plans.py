@@ -89,6 +89,13 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         ("q45_tumbling_window", 1),
         ("q03_top_orders", 1),  # TakeOrderedAndProject, no global sort
         ("q04_segment_revenue", 4),
+        # Window tier: each query's multiple window functions must share
+        # ONE partition shuffle (same partitionBy/orderBy → one sort).
+        ("q11_window_lag", 1),
+        ("q12_moving_window", 1),
+        ("q13_cumulative", 1),
+        ("q20_ntile_lead", 1),
+        ("q47_sessionization", 2),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
