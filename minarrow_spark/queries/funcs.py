@@ -261,36 +261,62 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count: `approx_*_ok` is TRUE iff the rsd=0.02 sketch lands within
     10% of COUNT(DISTINCT). The sketch is deterministic for fixed input, so
     the boolean is a *hash-checked* error bound — strictly stronger than the
-    rows-only driver check an approximate query would otherwise get."""
+    rows-only driver check an approximate query would otherwise get.
+
+    Physical shape: the two EXACT distinct counts come from two-level
+    aggregations (distinct → count) joined back on the 3-row group key —
+    NOT from countDistinct inside the main agg. Two different DISTINCT
+    columns in one aggregate force Catalyst's Expand (every input row
+    replicated per distinct group, and the HLL buffers ride the expanded
+    rows too): measured 10.5s vs 0.8s at sf0.1. The HLL sketches stay in
+    the main agg — they're ordinary partial-aggregating expressions."""
     l = T(spark, sf_dir, "lineitem")
     q = dec("l_quantity")
     s1 = F.sum(q).cast("double")
     s2 = F.sum((q * q).cast("decimal(38,4)")).cast("double")
     n = F.count(F.lit(1))
 
-    def within(approx, exact, tol: float = 0.10):
-        return F.abs(approx.cast("double") - exact.cast("double")) <= (
-            tol * exact.cast("double")
-        )
-
-    return l.groupBy("l_returnflag").agg(
+    main = l.groupBy("l_returnflag").agg(
         n.alias("n"),
         F.min("l_quantity").cast("double").alias("min_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
         (s1 / n).alias("avg_qty"),
         ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_qty"),
-        F.countDistinct("l_partkey").alias("n_parts"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_null_qty"),
-        within(
-            F.approx_count_distinct("l_partkey", 0.02),
-            F.countDistinct("l_partkey"),
-        ).alias("approx_parts_ok"),
-        within(
-            F.approx_count_distinct("l_orderkey", 0.02),
-            F.countDistinct("l_orderkey"),
-        ).alias("approx_orders_ok"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+    )
+
+    def exact_distinct(col: str, alias: str):
+        return (
+            l.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    def within(approx, exact, tol: float = 0.10):
+        return F.abs(approx.cast("double") - exact.cast("double")) <= (
+            tol * exact.cast("double")
+        )
+
+    joined = (
+        main.join(exact_distinct("l_partkey", "n_parts"), "l_returnflag")
+        .join(exact_distinct("l_orderkey", "_n_orders"), "l_returnflag")
+    )
+    return joined.select(
+        "l_returnflag",
+        "n",
+        "min_qty",
+        "max_qty",
+        "avg_qty",
+        "var_qty",
+        "n_parts",
+        "n_null_qty",
+        within(F.col("_ap"), F.col("n_parts")).alias("approx_parts_ok"),
+        within(F.col("_ao"), F.col("_n_orders")).alias("approx_orders_ok"),
     )
 
 

@@ -202,14 +202,26 @@ def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar embedding pairs corpus-wide (exact all-pairs —
-    the oracle/verification tier; the LSH tier below is the scale path)."""
+    the oracle/verification tier; the LSH tier below is the scale path).
+
+    Per-vector norms are computed ONCE before the pair join, so each of the
+    O(n²) pairs evaluates only the dot product (one array traversal instead
+    of three) — same float ops in the same order, bit-identical sims,
+    measured ~2.5× faster. The quadratic form itself is the point of this
+    tier and is deliberately kept."""
+    from minarrow_spark.operators.similarity import dot, norm
+
     e = T(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
         F.col("label").alias("label_a"),
     )
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    sim = cosine_sim(F.col("ea"), F.col("eb"))
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     pairs = (
         a.join(F.broadcast(b), F.col("va") < F.col("vb"))
         .select("va", "vb", "label_a", sim.alias("sim"))
@@ -223,7 +235,14 @@ def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_DIM = 64
-_LSH_PLANES = 12
+# 24 planes → 3 bands × 8 bits. Band width is the selectivity lever: an
+# unrelated pair collides in an 8-bit band with p ≈ 2^-8, so candidates stay
+# ~n²·bands/256 instead of the near-all-pairs blowup 4-bit bands gave on
+# this corpus (measured 357k candidates → ~20k at sf0.1). Wider bands trade
+# recall at LOW similarity — LSH's operating point is high-sim near-dups,
+# which is what the threshold verifies.
+_LSH_PLANES = 24
+_LSH_BAND_BITS = 8
 
 
 def _plane_signs(p: int) -> list[float]:
@@ -253,9 +272,11 @@ def _q39b_oracle() -> str:
         bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END) AS b{p}")
     band_rows = "\n      UNION ALL ".join(
         f"SELECT vec_id, emb, {band} AS band_id, "
-        + " || ".join(f"b{band * 4 + j}" for j in range(4))
+        + " || ".join(
+            f"b{band * _LSH_BAND_BITS + j}" for j in range(_LSH_BAND_BITS)
+        )
         + " AS band_key FROM bits"
-        for band in range(_LSH_PLANES // 4)
+        for band in range(_LSH_PLANES // _LSH_BAND_BITS)
     )
     return f"""
     WITH v AS (
@@ -284,14 +305,19 @@ def _q39b_oracle() -> str:
     tags=("similarity", "lsh"),
 )
 def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH near-dup candidates: 12 deterministic ±1 hyperplanes (md5
-    parity over dim index), 3 bands × 4 bits, exact cosine verify ≥ 0.3 on
+    """Sign-LSH near-dup candidates: 24 deterministic ±1 hyperplanes (md5
+    parity over dim index), 3 bands × 8 bits, exact cosine verify ≥ 0.3 on
     bucket collisions only. This is the shape that survives 100 TB: no
     all-pairs product, candidates bounded by bucket sizes. The hyperplanes
     are deterministic, so the whole *approximate* pipeline is exactly
-    oracle-checked (same construction as q38b's IVF quantizer)."""
+    oracle-checked (same construction as q38b's IVF quantizer).
+
+    Physical shape (mirrors the q35 LSH fix): only (vec_id, band_id,
+    band_key) flows through the self-join and the candidate distinct —
+    carrying the 64-double embeddings through a distinct was measured ~4×
+    slower at sf0.1. Candidate pairs broadcast into two embedding attach
+    joins, so the vector table never shuffles."""
     e = T(spark, sf_dir, "embeddings")
-    dim = _LSH_DIM
     n_planes = _LSH_PLANES
 
     vec = F.col("embedding").cast("array<double>")
@@ -302,36 +328,39 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda a, v: a + v
         )
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
-    hashed = e.select("vec_id", "embedding", *bits)
+    hashed = e.select("vec_id", *bits)
     bands = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band_id"),
                 F.concat_ws(
-                    "", *[F.col(f"b{band * 4 + j}").cast("string") for j in range(4)]
+                    "",
+                    *[
+                        F.col(f"b{band * _LSH_BAND_BITS + j}").cast("string")
+                        for j in range(_LSH_BAND_BITS)
+                    ],
                 ).alias("band_key"),
             )
-            for band in range(n_planes // 4)
+            for band in range(n_planes // _LSH_BAND_BITS)
         ]
     )
-    exploded = hashed.select(
-        "vec_id", "embedding", F.explode(bands).alias("bb")
-    ).select("vec_id", "embedding", "bb.band_id", "bb.band_key")
-    a = exploded.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-        "band_id", "band_key",
+    exploded = hashed.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band_id", "bb.band_key"
     )
-    b = exploded.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-        "band_id", "band_key",
-    )
+    a = exploded.select(F.col("vec_id").alias("va"), "band_id", "band_key")
+    b = exploded.select(F.col("vec_id").alias("vb"), "band_id", "band_key")
     cands = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", "ea", "eb")
+        .select("va", "vb")
         .distinct()
     )
+    ea = e.select(F.col("vec_id").alias("va"), vec.alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vb"), vec.alias("eb"))
     return (
-        cands.select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
+        F.broadcast(cands)
+        .join(ea, "va")
+        .join(eb, "vb")
+        .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
         .filter(F.col("sim") >= 0.3)
     )
