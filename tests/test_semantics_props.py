@@ -113,6 +113,24 @@ def test_checked_narrowing_cast(spark, pairs):
                 assert val is None, (r.a, val)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_hex_threshold_properties(p, q):
+    """Sampling threshold invariants (no Spark needed): monotone in the
+    fraction, fixed-width (or the keep-all sentinel), and the kept fraction
+    of the keyspace equals round(p·16^8)/16^8 exactly."""
+    from minarrow_spark.operators.sampling import hex_threshold
+
+    tp, tq = hex_threshold(p), hex_threshold(q)
+    if p <= q:
+        # "g" sorts after every hex string — mirrors the engine comparison
+        assert tp <= tq or tq == "g"
+    assert tp == "g" or (len(tp) == 8 and int(tp, 16) == round(p * 16**8))
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.tuples(TEXT, st.text(max_size=3)), min_size=1, max_size=30))
 def test_string_length_and_find(spark, items):

@@ -111,6 +111,62 @@ def test_stateful_running_totals(spark, sf_dir, replay):
         q.stop()
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST7 late-data semantics, tested with actual late data (the replay
+    fixtures arrive in order, so batch-equivalence alone never exercises
+    the drop path): an event arriving after the watermark passed its
+    window must NOT appear in the closed window's append-mode output."""
+    import datetime
+    import os
+    import time as _time
+
+    from minarrow_spark.streaming import windowed_counts
+
+    # watermarks require TIMESTAMP (tz-aware); session TZ is UTC
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def write_chunk(idx, times):
+        rows = [
+            (100 * idx + i, 1, datetime.datetime(2024, 1, 1, h, m), "click", 1.0)
+            for i, (h, m) in enumerate(times)
+        ]
+        path = os.path.join(str(tmp_path), f"chunk={idx:04d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _time.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    write_chunk(0, [(10, 5), (10, 10), (10, 50)])  # window [10:00, 11:00)
+    write_chunk(1, [(12, 0)])  # advances the eviction watermark past 11:00
+    # Spark filters late rows against the PREVIOUS batch's watermark
+    # (watermarkForLateEvents lags watermarkForEviction by one batch), so
+    # one more batch must run before a late arrival is actually rejected:
+    write_chunk(2, [(12, 5)])
+    write_chunk(3, [(10, 20)])  # LATE: window closed two batches ago → dropped
+
+    stream = read_event_stream(spark, str(tmp_path))
+    q = run_to_memory(
+        windowed_counts(stream, watermark="10 minutes"),
+        "late_out",
+        output_mode="append",
+    )
+    try:
+        out = {r.window_start: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+        w10 = int(datetime.datetime(2024, 1, 1, 10, 0, tzinfo=datetime.timezone.utc).timestamp())
+        assert out.get(w10) == 3, out  # late 10:20 event NOT counted
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        assert dropped == 1, dropped  # and it was dropped BY THE WATERMARK
+    finally:
+        q.stop()
+
+
 def test_hash_sampling_in_stream_matches_batch(spark, sf_dir, replay):
     """Deterministic hash sampling is a stateless projection+filter, so the
     identical operator applies under Structured Streaming and selects the
