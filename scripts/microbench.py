@@ -1,0 +1,61 @@
+"""Micro-benchmark against BASELINE.md's only directly comparable numbers:
+the reference's trivial sum kernels (`/root/reference/src/lib.rs:57-92`).
+
+Run from the repo root: python scripts/microbench.py
+Prints one JSON line; BASELINE.md's "Measured" section quotes a run.
+
+Comparability notes (kept honest):
+* The reference sums a hot, materialized Vec with SIMD+Rayon (22 CPUs).
+  Spark's counterpart is whole-stage-codegen over `spark.range` — ids
+  generated in-register, no input materialization either. Same trivial
+  kernel, same single-machine setting.
+* The parquet row measures the *realistic* path — decode + sum from
+  columnar storage — which the reference does not publish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from minarrow_spark.session import get_spark
+from minarrow_spark.sources.catalog import load_table
+
+
+def best_of(fn, n: int = 3) -> float:
+    fn()  # warm: codegen compile
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("minarrow_spark_microbench")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    n = 1_000_000_000
+    t_sum = best_of(lambda: spark.range(n).agg(F.sum("id")).collect())
+    t_pq = best_of(lambda: li.agg(F.sum("l_extendedprice")).collect())
+    out = {
+        "sum_1e9_i64_sec": round(t_sum, 4),
+        "sum_1e9_i64_gelem_per_s": round(n / t_sum / 1e9, 2),
+        "reference_sum_1e9_i64_sec": 0.1139,  # BASELINE.md, SIMD+Rayon, 22 CPUs
+        "ratio_vs_reference": round(t_sum / 0.1139, 2),
+        "parquet_sum_lineitem_f64_sec": round(t_pq, 4),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
