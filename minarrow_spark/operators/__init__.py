@@ -16,6 +16,7 @@ from minarrow_spark.operators.dedup import (
     minhash_signatures,
     simhash16,
 )
+from minarrow_spark.operators.graph import connected_components, dedup_clusters
 from minarrow_spark.operators.joins import asof_join
 from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
 
@@ -25,5 +26,5 @@ __all__ = [
     "minhash_lsh_jaccard", "minhash_signatures", "simhash16", "asof_join",
     "brute_force_topk", "hash_sample", "sample_mask",
     "stratified_hash_sample", "train_test_split",
-    "cosine_sim",
+    "cosine_sim", "connected_components", "dedup_clusters",
 ]

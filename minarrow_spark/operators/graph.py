@@ -1,0 +1,117 @@
+"""Connected components over candidate-pair edges — the cluster-formation
+step that turns near-duplicate PAIRS (q35 minhash-LSH, q37 n-gram jaccard,
+q40 embedding-cosine) into duplicate CLUSTERS with one canonical keeper.
+
+A production dedup pipeline is pairs → components → keep-one-per-component;
+the pair detectors here already exist, this closes the loop. No analog in
+the reference (pbower/minarrow is a data library, not a graph engine) —
+this is a beyond-reference extension for training-data pipelines, like
+operators/dedup.py.
+
+Algorithm: iterative min-label propagation, expressed declaratively so
+Catalyst plans every round:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until a fixpoint. Each round is one broadcast-or-shuffle join of
+the (small, 2-column) label table against the symmetrized edge list plus a
+min-groupBy — both map-side combined. Convergence needs O(diameter) rounds;
+dup clusters are near-cliques (stars around a popular document), so the
+practical round count is 2–4 regardless of corpus size. For adversarial
+long-path graphs the `max_iter` guard raises rather than looping forever
+(large-star/small-star contraction would give O(log n) worst-case rounds;
+not needed for dedup-shaped graphs and the guard makes the contract
+explicit).
+
+Scale shape per round: edges stay partitioned on `src` across ALL rounds
+(the join key never changes, so the exchange is reused from the previous
+round's shuffle files); only the label table — 2 columns, one row per
+vertex — moves. Lineage is cut every round with a GC-scoped
+`localCheckpoint` (same rationale as operators/dedup.py: blocks are freed
+by the ContextCleaner when the RDDs are collected, no session-lifetime
+cache), without which the plan doubles each round and the driver, not the
+data, becomes the bottleneck. The fixpoint check is a single `count` of
+changed labels per round — an O(V) action, unavoidable for any iterative
+algorithm, and the per-round result it gates is already materialized by
+the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``edges``.
+
+    Returns (id, component) for every vertex appearing in any edge, where
+    ``component`` is the MINIMUM vertex id of the component — a canonical,
+    deterministic representative (the keep-id convention used by
+    exact_dedup / the dedup queries).
+
+    Raises RuntimeError if ``max_iter`` rounds don't reach the fixpoint
+    (diameter > max_iter — not a dedup-shaped graph).
+    """
+    # Symmetrize once; both directions land in one table so each round is a
+    # single join, and self-loops are harmless (they propagate a label to
+    # itself). The edge table is the big side and its partitioning on `u`
+    # is stable across rounds.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        # min over {own label} ∪ {neighbor labels}: neighbor messages are
+        # edge ⋈ label on the sender, grouped on the receiver. Both aggs
+        # are map-side combined; the label table is the small build side.
+        msgs = (
+            e.join(labels.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            msgs.join(
+                labels.withColumnRenamed("component", "old"), "id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = msgs
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter)"
+    )
+
+
+def dedup_clusters(pairs: DataFrame, da: str = "da", db: str = "db") -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, keep_id, is_keeper).
+
+    ``keep_id`` is the minimum doc_id of the doc's connected component;
+    singleton documents (no near-dup edge) are NOT returned — absence means
+    "keep, it duplicates nothing", so the output stays candidate-sized, not
+    corpus-sized (the join-back against the corpus is the caller's anti-join
+    or left join, whichever the sink wants)."""
+    comp = connected_components(pairs, src=da, dst=db)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -99,6 +99,11 @@ def main() -> None:
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
         out.append(f"| {label} | {', '.join(names)} |")
+    out.append(
+        "| dedup cluster formation (pairs → connected components → keeper) | "
+        "operators/graph.py `connected_components`/`dedup_clusters` + "
+        "tests/test_graph.py (union-find oracle; iterative, non-SQL — pytest tier) |"
+    )
 
     with open("COVERAGE.md", "w") as f:
         f.write("\n".join(out) + "\n")

@@ -1,0 +1,99 @@
+"""Connected-components / dedup-cluster tests: Spark result vs a pure-Python
+union-find oracle on the same edges, plus the end-to-end pairs→clusters path
+on the real minhash near-dup pairs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from minarrow_spark.operators.dedup import augment_with_near_dups, minhash_lsh_jaccard
+from minarrow_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min id of each component
+    comp = {}
+    for v in list(parent):
+        root = find(v)
+        comp.setdefault(root, []).append(v)
+    out = {}
+    for members in comp.values():
+        rep = min(members)
+        for v in members:
+            out[v] = rep
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_components_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    expected = _union_find(edges)
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-20: worst case for label propagation (diameter
+    # rounds); must still converge and label everything 0.
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    rows = connected_components(df, max_iter=25).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 21
+
+
+def test_max_iter_guard(spark):
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=3)
+
+
+def test_dedup_clusters_from_minhash_pairs(spark, sf_dir):
+    """End-to-end: minhash-LSH near-dup pairs → clusters. Every synthetic
+    variant (doc_id + 100000) must land in its base doc's cluster with the
+    base doc as keeper, and the cluster table must agree with union-find on
+    the same pairs."""
+    docs = augment_with_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    pairs = (
+        minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("da", "db")
+    )
+    edge_rows = [(r["da"], r["db"]) for r in pairs.collect()]
+    assert edge_rows, "augmented corpus must produce near-dup pairs"
+    expected = _union_find(edge_rows)
+
+    clusters = {
+        r["doc_id"]: (r["keep_id"], r["is_keeper"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert {d: k for d, (k, _) in clusters.items()} == expected
+    for doc_id, (keep_id, is_keeper) in clusters.items():
+        assert is_keeper == (doc_id == keep_id)
+        if doc_id >= 100_000:  # synthetic variant: base doc is in-cluster
+            assert keep_id <= doc_id - 100_000
