@@ -175,6 +175,7 @@ def minhash_lsh_jaccard(
     num_hashes: int = 8,
     band_size: int = 2,
     hash_bits: int = 16,
+    materialize: str = "eager",
 ) -> DataFrame:
     """Fused minhash → banded LSH → exact-jaccard pipeline: (da, db, jaccard)
     for every candidate pair. No persist()/unpersist() lifecycle: the one
@@ -210,13 +211,15 @@ def minhash_lsh_jaccard(
     by candidate ids was measured slower because the whole signature
     pipeline re-executes per extra reference.)
 
-    Measured at sf0.1 (noop-sink materialization): ~1.6s (16-bit slices)
-    vs 2.1s (32-bit) vs 3.1s for the round-1 persist+attach-join
-    formulation."""
+    Measured at sf0.1 (noop-sink materialization): ~1.4s (16-bit slices,
+    eager checkpoint) vs 2.1s (32-bit) vs 3.1s for the round-1
+    persist+attach-join formulation."""
     if hash_bits % 4 != 0 or not 4 <= hash_bits <= 128:
         raise ValueError("hash_bits must be a multiple of 4 in [4, 128]")
     if num_hashes % band_size != 0:
         raise ValueError("band_size must divide num_hashes")
+    if materialize not in ("lazy", "eager", "none"):
+        raise ValueError("materialize must be 'lazy', 'eager', or 'none'")
     per_md5 = 128 // hash_bits
     width = hash_bits // 4
     n_md5 = -(-num_hashes // per_md5)  # ceil
@@ -230,12 +233,16 @@ def minhash_lsh_jaccard(
     # collected, so a long-lived session running the full registry does not
     # accumulate cached partitions. Trade-off: truncated lineage (an
     # executor loss during the query forces a rerun) — the standard price
-    # of any materialization, stated here rather than hidden. Lazy
-    # (eager=False): partitions materialize inside the first consuming job
-    # instead of a separate blocking job — measured ~0.4s faster per run;
-    # a concurrent first-touch by two stages merely duplicates that
-    # partition's compute once, it cannot corrupt the stored blocks.
-    dsa = doc_shingle_arrays(docs, k=k).localCheckpoint(eager=False)
+    # of any materialization, stated here rather than hidden.
+    # ``materialize``: "eager" (default) runs a blocking checkpoint job up
+    # front; "lazy" materializes inside the first consuming job but lets
+    # concurrent first-touching stages duplicate partition compute (measured
+    # at sf0.1: eager 1.4s tight, lazy 1.6-2.3s bimodal — the race is real);
+    # "none" recomputes the text pipeline per branch (~1.9s, the stateless
+    # fallback when checkpoint storage is unavailable).
+    dsa = doc_shingle_arrays(docs, k=k)
+    if materialize != "none":
+        dsa = dsa.localCheckpoint(eager=(materialize == "eager"))
     sh = dsa.select("doc_id", F.explode("sh_arr").alias("shingle"))
     src = sh.select(
         "doc_id",

@@ -23,7 +23,7 @@ from minarrow_spark.operators.dedup import (
     minhash_lsh_jaccard,
     simhash16,
 )
-from minarrow_spark.queries._util import T
+from minarrow_spark.queries._util import T, par
 from minarrow_spark.registry import query
 
 # Shared oracle CTE fragments ------------------------------------------------
@@ -77,7 +77,7 @@ _CORPUS_NEAR = """
 def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized fingerprint, keep-min-id.
     Corpus augmented with exact copies of every 10th doc."""
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    d = par(T(spark, sf_dir, "documents")).select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -139,12 +139,13 @@ def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection end-to-end: shingle → 8-hash signature
     (ONE salted md5 pass per shingle, sliced into 16-bit sub-hashes) →
     4 bands → bucket self-join → exact jaccard verify on colliding rows
-    only. One pure expression tree: the self-join's two sides share one
-    exchange (ReusedExchange), so the text pipeline runs once with no
-    persist/cache lifecycle — no all-pairs comparison anywhere. Minhash
+    only. The shingle-array table feeding the three consumers (signature +
+    both jaccard attaches) is materialized once by a GC-scoped eager
+    localCheckpoint (see the operator docstring for the measured lazy-race
+    trade-off) — no all-pairs comparison anywhere. Minhash
     width only moves the candidate false-positive rate (jaccard verify
     decides values), so the 16-bit packing is pure throughput."""
-    docs = augment_with_near_dups(T(spark, sf_dir, "documents"))
+    docs = augment_with_near_dups(par(T(spark, sf_dir, "documents")))
     jp = minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2, hash_bits=16)
     return jp.select(
         "da", "db", "jaccard", (F.col("jaccard") >= 0.5).alias("is_near")
@@ -177,7 +178,7 @@ def _simhash_oracle() -> str:
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (term-frequency-weighted
     bit majority vote over token md5 nibbles)."""
-    return simhash16(T(spark, sf_dir, "documents"))
+    return simhash16(par(T(spark, sf_dir, "documents")))
 
 
 @query(
@@ -237,7 +238,7 @@ def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, then broadcast into two array attaches; |A∩B| is per-row
     array_intersect on candidates only. The oracle is unchanged — set
     semantics are identical either way."""
-    d = T(spark, sf_dir, "documents")
+    d = par(T(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     corpus = d.select(

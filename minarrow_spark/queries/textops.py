@@ -20,7 +20,7 @@ from minarrow_spark.functions.text import (
     quality_score,
     token_count,
 )
-from minarrow_spark.queries._util import T
+from minarrow_spark.queries._util import T, par
 from minarrow_spark.registry import query
 
 _SQL_TOKENS = (
@@ -49,7 +49,7 @@ def _sql_score(lang: str) -> str:
 )
 def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-token statistics per language (integer sums → exact)."""
-    d = T(spark, sf_dir, "documents")
+    d = par(T(spark, sf_dir, "documents"))
     nt = token_count(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -93,7 +93,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic: confusion counts of labeled
     vs predicted language."""
-    d = T(spark, sf_dir, "documents")
+    d = par(T(spark, sf_dir, "documents"))
     return (
         d.select("lang", lang_predict(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -131,7 +131,7 @@ def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (rational arithmetic only → deterministic);
     per-source keep/drop accounting as a filter pipeline would use it."""
-    d = T(spark, sf_dir, "documents")
+    d = par(T(spark, sf_dir, "documents"))
     score = quality_score(F.col("text"))
     return (
         d.select("source", score.alias("score"))
@@ -162,7 +162,7 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-text md5 fingerprinting; per-source uniqueness accounting
     (the scalable pre-pass for exact dedup)."""
-    d = T(spark, sf_dir, "documents")
+    d = par(T(spark, sf_dir, "documents"))
     fp = fingerprint(F.col("text"))
     return d.select("source", fp.alias("fp")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
