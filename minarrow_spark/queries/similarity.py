@@ -5,9 +5,9 @@
 * q39 — top similar pairs corpus-wide (exact; the oracle for near-dup
   thresholds).
 * q39b — sign-LSH bucketed near-dup variant: the 100 TB path (candidates
-  from hyperplane-sign buckets, exact cosine verify). Rows-only driver
-  check (approximate recall by design); pytest checks bucket candidates ⊆
-  exact pairs semantics instead.
+  from hyperplane-sign buckets, exact cosine verify). The hyperplanes are
+  md5-parity deterministic and projections sum in exact decimals, so the
+  approximate pipeline is exactly hash-checked against the DuckDB oracle.
 
 Numeric determinism: floats are widened to double *before* any multiply;
 cosine is rounded to 6 digits; ranking orders by (rounded sim, id) so ranks
@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
-from minarrow_spark.queries._util import T
+from minarrow_spark.queries._util import T, par
 from minarrow_spark.registry import query
 
 _COS = (
@@ -54,7 +54,7 @@ _COS = (
 def q38_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for 5 probe vectors (brute-force
     baseline; scales linearly — probes broadcast, one candidate scan)."""
-    e = T(spark, sf_dir, "embeddings")
+    e = par(T(spark, sf_dir, "embeddings"))
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -111,7 +111,7 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/n_cells of the data instead of scanning everything (q38). Deterministic
     quantizer → the oracle reproduces the same cells, so even the *approximate*
     result is exactly checkable."""
-    e = T(spark, sf_dir, "embeddings").select(
+    e = par(T(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     v = e.withColumn("cell", _cell_col(F.col("emb"), 1, 4))
@@ -160,7 +160,7 @@ def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups always share a cell — then exact cosine ≥ 0.8 within blocks.
     One equi-join on the 8-bit cell key instead of an all-pairs product; the
     deterministic blocking lets the oracle reproduce the result exactly."""
-    e = T(spark, sf_dir, "embeddings").select(
+    e = par(T(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     variants = e.filter(F.col("vec_id") % 10 == 0).select(
@@ -211,7 +211,7 @@ def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier and is deliberately kept."""
     from minarrow_spark.operators.similarity import dot, norm
 
-    e = T(spark, sf_dir, "embeddings")
+    e = par(T(spark, sf_dir, "embeddings"))
     a = e.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
         norm(F.col("embedding")).alias("na"),
@@ -258,44 +258,56 @@ def _plane_signs(p: int) -> list[float]:
 
 
 def _q39b_oracle() -> str:
-    """DuckDB twin of the sign-LSH pipeline. Bit-exactness notes: products
-    use the same literal ±1.0 signs; the projection is a LEFT FOLD over
-    element products (list_reduce) — identical operation order to Spark's
-    F.aggregate, so the sign bit can never diverge on rounding."""
-    bit_exprs = []
-    for p in range(_LSH_PLANES):
-        signs = "[" + ", ".join(str(s) for s in _plane_signs(p)) + "]"
-        proj = (
-            f"list_reduce(list_transform(range(1, {_LSH_DIM + 1}), "
-            f"i -> emb[i] * ({signs})[i]), (a, b) -> a + b)"
-        )
-        bit_exprs.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END) AS b{p}")
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT vec_id, emb, {band} AS band_id, "
-        + " || ".join(
-            f"b{band * _LSH_BAND_BITS + j}" for j in range(_LSH_BAND_BITS)
-        )
-        + " AS band_key FROM bits"
-        for band in range(_LSH_PLANES // _LSH_BAND_BITS)
-    )
+    """DuckDB twin of the sign-LSH pipeline. Bit-exactness argument: the
+    per-element product x·(±1.0) is an exact IEEE sign flip; each product is
+    cast to DECIMAL(28,12) — exact for float32-sourced doubles (≤ 9
+    significant decimal digits), and the identical double→decimal rounding
+    convention both engines already rely on elsewhere (q32) — and DECIMAL
+    addition is exact, so the projection sum is identical in ANY evaluation
+    order. Sign bits therefore match Spark's vectorized group-sum without
+    requiring an ordered fold; the old list_reduce-per-plane form (24 lambda
+    folds × every row) measured ~9s at sf0.01 vs <1s for this unnest+join
+    shape."""
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
-    bits AS (
-      SELECT vec_id, emb, {", ".join(bit_exprs)} FROM v
+    ex AS (
+      SELECT vec_id, CAST(i AS INT) AS d, emb[CAST(i AS INT) + 1] AS x
+      FROM v, range(0, {_LSH_DIM}) t(i)
+    ),
+    signs AS (
+      SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS d,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(CAST(p AS VARCHAR) || '|'
+                                          || CAST(d AS VARCHAR)), 32, 1)) - 1)
+                       % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(0, {_LSH_PLANES}) a(p), range(0, {_LSH_DIM}) b(d)
+    ),
+    proj AS (
+      SELECT ex.vec_id, signs.p,
+             SUM(CAST(ex.x * signs.s AS DECIMAL(28,12))) AS pr
+      FROM ex JOIN signs ON ex.d = signs.d
+      GROUP BY ex.vec_id, signs.p
     ),
     bandrows AS (
-      {band_rows}
+      SELECT vec_id, CAST(p // {_LSH_BAND_BITS} AS INT) AS band_id,
+             string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS band_key
+      FROM proj GROUP BY vec_id, p // {_LSH_BAND_BITS}
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.emb AS ea, b.emb AS eb
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       FROM bandrows a JOIN bandrows b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.vec_id < b.vec_id
     )
-    SELECT va, vb, round(list_cosine_similarity(ea, eb), 6) AS sim
-    FROM cand WHERE round(list_cosine_similarity(ea, eb), 6) >= 0.3
+    SELECT va, vb, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS sim
+    FROM cand
+    JOIN v ea ON ea.vec_id = va
+    JOIN v eb ON eb.vec_id = vb
+    WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.3
     """
 
 
@@ -316,27 +328,51 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_key) flows through the self-join and the candidate distinct —
     carrying the 64-double embeddings through a distinct was measured ~4×
     slower at sf0.1. Candidate pairs broadcast into two embedding attach
-    joins, so the vector table never shuffles."""
-    e = T(spark, sf_dir, "embeddings")
+    joins, so the vector table never shuffles.
+
+    Projection engine: posexplode the vector once, broadcast-join a 64-row
+    sign table (one ±1 column per plane), group-sum per vec_id — every step
+    whole-stage codegen with map-side combine, vs 24 interpreted HOF folds
+    per row in the previous form. Each product is an exact sign flip cast to
+    DECIMAL(28,12) (exact for float32-sourced values), and decimal addition
+    is exact, so the projection — hence every sign bit — is identical under
+    ANY partitioning and matches the oracle's vectorized sum without an
+    ordered fold (see _q39b_oracle)."""
+    e = par(T(spark, sf_dir, "embeddings"))
     n_planes = _LSH_PLANES
 
     vec = F.col("embedding").cast("array<double>")
-    bits = []
-    for p in range(n_planes):
-        signs = F.array(*[F.lit(s) for s in _plane_signs(p)])
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda a, v: a + v
+    sign_rows = [
+        tuple([d] + [_plane_signs(p)[d] for p in range(n_planes)])
+        for d in range(_LSH_DIM)
+    ]
+    signs = spark.createDataFrame(
+        sign_rows, ["d"] + [f"s{p}" for p in range(n_planes)]
+    )
+    ex = e.select("vec_id", vec.alias("emb")).select(
+        "vec_id", F.posexplode("emb").alias("d", "x")
+    )
+    proj = (
+        ex.join(F.broadcast(signs), "d")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum((F.col("x") * F.col(f"s{p}")).cast("decimal(28,12)"))
+                .alias(f"pr{p}")
+                for p in range(n_planes)
+            ]
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
-    hashed = e.select("vec_id", *bits)
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band_id"),
-                F.concat_ws(
-                    "",
+                F.concat(
                     *[
-                        F.col(f"b{band * _LSH_BAND_BITS + j}").cast("string")
+                        F.when(
+                            F.col(f"pr{band * _LSH_BAND_BITS + j}") >= 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
                         for j in range(_LSH_BAND_BITS)
                     ],
                 ).alias("band_key"),
@@ -344,7 +380,7 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(n_planes // _LSH_BAND_BITS)
         ]
     )
-    exploded = hashed.select("vec_id", F.explode(bands).alias("bb")).select(
+    exploded = proj.select("vec_id", F.explode(bands).alias("bb")).select(
         "vec_id", "bb.band_id", "bb.band_key"
     )
     a = exploded.select(F.col("vec_id").alias("va"), "band_id", "band_key")
