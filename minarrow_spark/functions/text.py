@@ -52,6 +52,24 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+# BPE-style pre-tokenizer pattern (the GPT-2 family's shape: contractions,
+# letter runs, digit runs, punctuation runs, each optionally space-prefixed).
+# Restricted to lookahead-free syntax on purpose: Spark compiles Java regex,
+# DuckDB compiles RE2 — both honor leftmost alternation preference, but RE2
+# has no lookahead, so the canonical `\s+(?!\S)` tail is dropped (counting is
+# unaffected: trailing whitespace runs merge into the final token either way).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count: the number of BPE_PATTERN
+    matches over the lowercased text — the pre-merge token count a
+    byte-pair-encoding tokenizer would start from (whitespace collapses into
+    the following token, contractions split off). One codegen'd
+    regexp_count, embarrassingly parallel; '' → 0 naturally."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_PATTERN)).cast("bigint")
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     return {
         lang: F.regexp_count(F.lower(text), F.lit(pat)).cast("bigint")

@@ -12,8 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minarrow_spark.functions.text import (
+    BPE_PATTERN,
     LANG_PATTERNS,
     PUNCT_PATTERN,
+    bpe_token_count,
     fingerprint,
     lang_predict,
     lang_scores,
@@ -33,6 +35,8 @@ def _sql_score(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{LANG_PATTERNS[lang]}'))"
 
 
+_SQL_BPE = BPE_PATTERN.replace("'", "''")
+
 @query(
     "q30_token_stats",
     oracle=f"""
@@ -40,6 +44,10 @@ def _sql_score(lang: str) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS total_tokens,
            CAST(MAX({_SQL_TOKENS}) AS BIGINT) AS max_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_SQL_BPE}')))
+                AS BIGINT) AS total_bpe_tokens,
+           CAST(MAX(len(regexp_extract_all(lower(text), '{_SQL_BPE}')))
+                AS BIGINT) AS max_bpe_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
@@ -48,13 +56,19 @@ def _sql_score(lang: str) -> str:
     tags=("text", "tokenize"),
 )
 def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace-token statistics per language (integer sums → exact)."""
+    """Token statistics per language, both counting tiers (integer sums →
+    exact): whitespace tokens and BPE-ish subword-boundary tokens (the
+    pre-merge count a byte-pair tokenizer starts from — see
+    functions/text.py BPE_PATTERN for the cross-engine regex contract)."""
     d = par(T(spark, sf_dir, "documents"))
     nt = token_count(F.col("text"))
+    nb = bpe_token_count(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(nt).cast("bigint").alias("total_tokens"),
         F.max(nt).cast("bigint").alias("max_tokens"),
+        F.sum(nb).cast("bigint").alias("total_bpe_tokens"),
+        F.max(nb).cast("bigint").alias("max_bpe_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )

@@ -91,7 +91,7 @@ def main() -> None:
     fams = [
         ("dedup (exact, minhash-LSH, simhash, n-gram jaccard, embedding-cosine)", "dedup"),
         ("similarity search (brute-force, IVF, sign-LSH)", "similarity"),
-        ("text analysis (tokens, lang-ID, quality, fingerprint)", "text"),
+        ("text analysis (whitespace + BPE-ish tokens, lang-ID, quality, fingerprint)", "text"),
         ("multimodal binary columns", "multimodal"),
         ("streaming/event-time", "streaming"),
         ("deterministic hash sampling / train-test splits", "sampling"),

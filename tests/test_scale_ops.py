@@ -123,3 +123,26 @@ def test_minhash_composed_equals_fused(spark, sf_dir):
     composed = jaccard_pairs_arr(cands, dsa).select("da", "db", "jaccard")
     fused = minhash_lsh_jaccard(docs, k=3, num_hashes=8, band_size=2)
     assert _canon(composed) == _canon(fused)
+
+
+def test_bpe_token_count_semantics(spark):
+    """BPE-ish pre-tokenizer contract (functions/text.py BPE_PATTERN):
+    contractions split off, whitespace merges into the following token,
+    letter/digit/punct runs are separate tokens, '' counts zero."""
+    from minarrow_spark.functions.text import bpe_token_count
+
+    cases = [
+        ("it's 2024, isn't it?", 8),  # it|'s| 2024|,| isn|'t| it|?
+        ("hello world", 2),
+        ("abc123", 2),                # abc|123
+        ("a  b", 2),                  # runs of spaces merge forward
+        ("", 0),
+        ("?!?", 1),                   # one punct run
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    got = {
+        r["text"]: r["n"]
+        for r in df.select("text", bpe_token_count(F.col("text")).alias("n")).collect()
+    }
+    for text, want in cases:
+        assert got[text] == want, (text, got[text], want)
