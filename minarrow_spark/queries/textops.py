@@ -18,7 +18,6 @@ from minarrow_spark.functions.text import (
     bpe_token_count,
     fingerprint,
     lang_predict,
-    lang_scores,
     quality_score,
     token_count,
 )
@@ -40,7 +39,32 @@ _SQL_BPE = BPE_PATTERN.replace("'", "''")
 @query(
     "q30_token_stats",
     oracle=f"""
-    SELECT lang,
+    WITH scored AS (
+      SELECT lang, text, n_chars,
+             {_sql_score('en')} AS s_en,
+             {_sql_score('es')} AS s_es,
+             {_sql_score('fr')} AS s_fr,
+             {_sql_score('de')} AS s_de,
+             {_sql_score('zh')} AS s_zh
+      FROM documents
+    ),
+    labeled AS (
+      SELECT lang,
+             CASE
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh
+                 THEN 'en'
+               WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh
+                 THEN 'es'
+               WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh
+                 THEN 'fr'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+                 THEN 'de'
+               ELSE 'zh'
+             END AS predicted,
+             text, n_chars
+      FROM scored
+    )
+    SELECT lang, predicted,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS total_tokens,
            CAST(MAX({_SQL_TOKENS}) AS BIGINT) AS max_tokens,
@@ -50,68 +74,33 @@ _SQL_BPE = BPE_PATTERN.replace("'", "''")
                 AS BIGINT) AS max_bpe_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-    FROM documents
-    GROUP BY lang
+    FROM labeled
+    GROUP BY lang, predicted
     """,
-    tags=("text", "tokenize"),
+    tags=("text", "tokenize", "lang-id"),
 )
 def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token statistics per language, both counting tiers (integer sums →
-    exact): whitespace tokens and BPE-ish subword-boundary tokens (the
-    pre-merge count a byte-pair tokenizer starts from — see
-    functions/text.py BPE_PATTERN for the cross-engine regex contract)."""
+    """Token statistics on the language-ID confusion grid — labeled ×
+    predicted language (the stopword-heuristic argmax), with both counting
+    tiers as exact integer sums: whitespace tokens and BPE-ish
+    subword-boundary tokens (the pre-merge count a byte-pair tokenizer
+    starts from — see functions/text.py BPE_PATTERN for the cross-engine
+    regex contract). One codegen'd projection, one map-side-combined
+    shuffle on the (lang, predicted) key."""
     d = par(T(spark, sf_dir, "documents"))
     nt = token_count(F.col("text"))
     nb = bpe_token_count(F.col("text"))
-    return d.groupBy("lang").agg(
+    return d.select(
+        "lang", lang_predict(F.col("text")).alias("predicted"),
+        nt.alias("nt"), nb.alias("nb"), "n_chars",
+    ).groupBy("lang", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(nt).cast("bigint").alias("total_tokens"),
-        F.max(nt).cast("bigint").alias("max_tokens"),
-        F.sum(nb).cast("bigint").alias("total_bpe_tokens"),
-        F.max(nb).cast("bigint").alias("max_bpe_tokens"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.max("nt").cast("bigint").alias("max_tokens"),
+        F.sum("nb").cast("bigint").alias("total_bpe_tokens"),
+        F.max("nb").cast("bigint").alias("max_bpe_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
-    )
-
-
-@query(
-    "q31_lang_id",
-    oracle=f"""
-    WITH scored AS (
-      SELECT lang,
-             {_sql_score('en')} AS s_en,
-             {_sql_score('es')} AS s_es,
-             {_sql_score('fr')} AS s_fr,
-             {_sql_score('de')} AS s_de,
-             {_sql_score('zh')} AS s_zh
-      FROM documents
-    )
-    SELECT lang,
-           CASE
-             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh
-               THEN 'en'
-             WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh
-               THEN 'es'
-             WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh
-               THEN 'fr'
-             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
-               THEN 'de'
-             ELSE 'zh'
-           END AS predicted,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM scored
-    GROUP BY 1, 2
-    """,
-    tags=("text", "lang-id"),
-)
-def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram/stopword language-ID heuristic: confusion counts of labeled
-    vs predicted language."""
-    d = par(T(spark, sf_dir, "documents"))
-    return (
-        d.select("lang", lang_predict(F.col("text")).alias("predicted"))
-        .groupBy("lang", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -182,4 +171,91 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
         F.min("fp").alias("min_fp"),
+    )
+
+
+@query(
+    "q41_decontaminate",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS text FROM documents
+    ),
+    bench AS (SELECT * FROM base WHERE doc_id % 25 = 0),
+    train AS (
+      SELECT doc_id, text FROM base WHERE doc_id % 25 <> 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(regexp_split_to_array(text, '\\s+')[6:], ' ')
+      FROM bench
+    ),
+    bg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                                   i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM (SELECT regexp_split_to_array(text, '\\s+') AS w FROM bench)
+    ),
+    tg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                                   i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM train)
+    ),
+    tg AS (SELECT DISTINCT doc_id, gram FROM tg0),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_shared
+      FROM tg JOIN bg ON tg.gram = bg.gram
+      GROUP BY tg.doc_id
+    )
+    SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
+           round(CAST(h.n_shared AS DOUBLE) / c.n_grams, 6) AS frac_shared
+    FROM hits h JOIN cnt c ON c.doc_id = h.doc_id
+    """,
+    tags=("text", "decontaminate"),
+)
+def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    8-token shingle with an evaluation set — the standard n-gram-overlap
+    contamination check a training pipeline runs before release. Every
+    25th doc stands in for the benchmark; the training side is the rest
+    plus token-dropped copies of the benchmark docs (id +200000), the
+    known-contaminated population the check must catch.
+
+    Scale shape: the benchmark gram set is DISTINCT'd then broadcast —
+    eval benchmarks are MB-scale against a 100 TB corpus, so the training
+    side's grams explode map-side and probe the broadcast hash table with
+    no shuffle; the only fact-side shuffles are the two map-side-combined
+    per-doc groupBys (gram count + hit count). Per-doc distinct grams stay
+    in per-row arrays until the explode (same zero-shuffle trick as q35's
+    shingle table)."""
+    from minarrow_spark.functions.text import shingles
+
+    d = par(T(spark, sf_dir, "documents"))
+    base = d.select("doc_id", F.lower(F.trim("text")).alias("text"))
+    bench = base.filter(F.col("doc_id") % 25 == 0)
+    toks = F.split(F.col("text"), r"\s+")
+    variants = bench.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 6, F.size(toks))).alias("text"),
+    )
+    train = base.filter(F.col("doc_id") % 25 != 0).unionByName(variants)
+    garr = lambda df: df.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 8)).alias("garr")
+    )
+    bg = garr(bench).select(F.explode("garr").alias("gram")).distinct()
+    tg = garr(train).select("doc_id", F.explode("garr").alias("gram"))
+    cnt = garr(train).select("doc_id", F.size("garr").alias("n_grams"))
+    hits = tg.join(F.broadcast(bg), "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        F.broadcast(hits)
+        .join(cnt, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
+            ).alias("frac_shared"),
+        )
     )
