@@ -20,6 +20,7 @@ from minarrow_spark.functions.text import (
     lang_predict,
     quality_score,
     token_count,
+    tokens,
 )
 from minarrow_spark.queries._util import T, par
 from minarrow_spark.registry import query
@@ -112,20 +113,29 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST({_SQL_TOKENS} AS DOUBLE) AS n_tok,
              CAST(length(text) AS DOUBLE) AS n_char,
              CAST({_sql_score('en')} AS DOUBLE) AS stop,
-             CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE) AS punct
+             CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE) AS punct,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE
+               CAST(len(list_distinct(
+                      regexp_split_to_array(lower(trim(text)), '\\s+')))
+                    AS DOUBLE)
+             END AS n_types
       FROM documents
     ), s AS (
       SELECT source,
              (3.0 * stop + n_tok)
              / (n_tok + 5.0 * punct
                 + (CASE WHEN n_tok > 0 THEN n_char / n_tok ELSE 0.0 END)
-                + 1.0) AS score
+                + 1.0) AS score,
+             CASE WHEN n_tok > 0 THEN n_types / n_tok ELSE 1.0 END AS ttr
       FROM q
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS total_score,
-           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE) AS total_ttr,
+           CAST(SUM(CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitious
     FROM s
     GROUP BY source
     """,
@@ -133,11 +143,19 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (rational arithmetic only → deterministic);
-    per-source keep/drop accounting as a filter pipeline would use it."""
+    per-source keep/drop accounting as a filter pipeline would use it.
+    Includes the repetition signal quality filters use alongside the score:
+    type-token ratio (distinct words / words, per-row array math — no
+    shuffle) with a count of docs under the 0.3 repetitious threshold."""
     d = par(T(spark, sf_dir, "documents"))
     score = quality_score(F.col("text"))
+    toks = tokens(F.col("text"))
+    n_tok = token_count(F.col("text")).cast("double")
+    ttr = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(1.0))
     return (
-        d.select("source", score.alias("score"))
+        d.select("source", score.alias("score"), ttr.alias("ttr"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -145,6 +163,10 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
             .cast("bigint")
             .alias("n_good"),
+            F.sum(F.col("ttr").cast("decimal(18,6)")).cast("double").alias("total_ttr"),
+            F.sum(F.when(F.col("ttr") < 0.3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repetitious"),
         )
     )
 

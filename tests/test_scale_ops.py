@@ -146,3 +146,18 @@ def test_bpe_token_count_semantics(spark):
     }
     for text, want in cases:
         assert got[text] == want, (text, got[text], want)
+
+
+def test_par_guard_is_noop_when_parallel(spark, sf_dir):
+    """par() must repartition only under-parallel scans: a DataFrame that
+    already has >= defaultParallelism partitions passes through with NO
+    added exchange (the 100 TB case), while a single-partition scan gains
+    cluster parallelism."""
+    from minarrow_spark.queries._util import T, par
+
+    target = spark.sparkContext.defaultParallelism
+    docs = T(spark, sf_dir, "documents")
+    assert par(docs).rdd.getNumPartitions() >= min(target, 2)
+    wide = docs.repartition(target + 4)
+    # already-parallel input: par() returns the SAME plan, no new exchange
+    assert par(wide) is wide
