@@ -8,7 +8,7 @@ in the hot path, embarrassingly parallel at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from minarrow_spark.functions.text import (
@@ -280,4 +280,89 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_shared").cast("double") / F.col("n_grams"), 6
             ).alias("frac_shared"),
         )
+    )
+
+_PACK_BUDGET = 512  # tokens per training chunk
+_PACK_SHARDS = 8    # parallel packing shards per language
+
+
+@query(
+    "q42_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             CAST({_SQL_TOKENS} AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT lang, shard, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + {_PACK_BUDGET - 1}) // {_PACK_BUDGET} AS BIGINT)
+             AS n_chunks,
+           CAST(SUM(CASE WHEN (cum_before + greatest(n_tok, 1) - 1)
+                               // {_PACK_BUDGET}
+                          <> cum_before // {_PACK_BUDGET}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+           CAST(({_PACK_BUDGET} - SUM(n_tok) % {_PACK_BUDGET})
+                % {_PACK_BUDGET} AS BIGINT) AS tail_pad
+    FROM c
+    GROUP BY lang, shard
+    """,
+    tags=("text", "packing", "W4"),
+)
+def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing accounting for the concat-and-chunk pretraining
+    regime: documents are concatenated in deterministic (lang, shard,
+    doc_id) order and cut into fixed 512-token chunks. Per (lang, shard)
+    pack: chunk count, documents straddling a chunk boundary (the loss-
+    masking cost that motivates smarter packing), and final-chunk padding
+    waste. Integer math end-to-end (exact `div`, no floats) so the oracle
+    hash is exact.
+
+    Scale shape: packing is sequential *within* a pack but embarrassingly
+    parallel *across* packs — the shard key is the parallelism knob (in a
+    real 100 TB run: one pack per input split). The cumulative window
+    partitions on (lang, shard) and the final rollup groups on the same
+    key, so Catalyst reuses the window's hash partitioning: ONE shuffle
+    total (pinned in tests/test_plans.py)."""
+    from minarrow_spark.functions.arithmetic import floordiv_int
+
+    B, S = _PACK_BUDGET, _PACK_SHARDS
+    d = par(T(spark, sf_dir, "documents"))
+    t = d.select(
+        "lang",
+        (F.col("doc_id") % S).alias("shard"),
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "lang",
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    bud = F.lit(B).cast("long")
+    straddle = floordiv_int(
+        F.col("cum_before") + F.greatest(F.col("n_tok"), F.lit(1)) - 1, bud
+    ) != floordiv_int(F.col("cum_before"), bud)
+    return c.groupBy("lang", F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        floordiv_int(F.sum("n_tok") + (B - 1), F.lit(B).cast("long"))
+        .cast("bigint")
+        .alias("n_chunks"),
+        F.sum(F.when(straddle, 1).otherwise(0)).cast("bigint").alias("n_straddlers"),
+        ((B - F.sum("n_tok") % B) % B).cast("bigint").alias("tail_pad"),
     )

@@ -29,18 +29,35 @@ from minarrow_spark.registry import query
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn,
              RANK() OVER (PARTITION BY o_custkey
-                          ORDER BY o_orderstatus) AS status_rank
+                          ORDER BY o_orderstatus) AS status_rank,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS order_seq
       FROM orders
     ) WHERE rn <= 3
     """,
-    tags=("W1",),
+    tags=("W1", "W4"),
     bench=True,
 )
 def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: row_number + rank (W1)."""
+    """Top-3 orders per customer (row_number + rank, W1) carrying each
+    order's running customer spend and sequence number (cumulative W4 —
+    the reference's `Cube` time-stacking use case, `cube.rs:62-77`).
+    Three window specs share the o_custkey partition → ONE shuffle, sorts
+    within partitions (pinned in tests/test_plans.py)."""
     o = T(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     wr = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    wc = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ws = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         o.select(
             "o_custkey",
@@ -48,6 +65,8 @@ def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.row_number().over(w).alias("rn"),
             F.rank().over(wr).alias("status_rank"),
+            F.sum(dec("o_totalprice")).over(wc).cast("double").alias("running_spend"),
+            F.row_number().over(ws).cast("bigint").alias("order_seq"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -112,39 +131,6 @@ def q12_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum(dec("l_quantity")).over(w).cast("double").alias("moving_qty"),
         F.count(F.lit(1)).over(w).alias("frame_n"),
-    )
-
-
-@query(
-    "q13_cumulative",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend,
-           CAST(ROW_NUMBER() OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
-             AS order_seq
-    FROM orders
-    """,
-    tags=("W4",),
-)
-def q13_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running customer spend (cumulative W4) — the reference's `Cube`
-    time-stacking use case (`cube.rs:62-77`) as a window."""
-    o = T(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    ws = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
-        F.row_number().over(ws).cast("bigint").alias("order_seq"),
     )
 
 

@@ -93,8 +93,10 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # ONE partition shuffle (same partitionBy/orderBy → one sort).
         ("q11_window_lag", 1),
         ("q12_moving_window", 1),
-        ("q13_cumulative", 1),
         ("q20_ntile_lead", 1),
+        # Packing: cumulative window + rollup share the (lang, shard)
+        # partitioning — the groupBy must NOT add a second exchange.
+        ("q42_sequence_packing", 1),
         ("q47_sessionization", 2),
     ],
 )
