@@ -16,6 +16,11 @@ from minarrow_spark.operators.dedup import (
     minhash_signatures,
     simhash16,
 )
+from minarrow_spark.operators.clustering import (
+    cluster_balanced_sample,
+    kmeans_assign,
+    kmeans_fit,
+)
 from minarrow_spark.operators.graph import connected_components, dedup_clusters
 from minarrow_spark.operators.joins import asof_join
 from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
@@ -27,4 +32,5 @@ __all__ = [
     "brute_force_topk", "hash_sample", "sample_mask",
     "stratified_hash_sample", "train_test_split",
     "cosine_sim", "connected_components", "dedup_clusters",
+    "cluster_balanced_sample", "kmeans_assign", "kmeans_fit",
 ]
