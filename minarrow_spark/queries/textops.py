@@ -109,7 +109,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_quality_score",
     oracle=f"""
     WITH q AS (
-      SELECT source,
+      SELECT doc_id, source,
              CAST({_SQL_TOKENS} AS DOUBLE) AS n_tok,
              CAST(length(text) AS DOUBLE) AS n_char,
              CAST({_sql_score('en')} AS DOUBLE) AS stop,
@@ -121,13 +121,29 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS n_types
       FROM documents
     ), s AS (
-      SELECT source,
+      SELECT doc_id, source,
              (3.0 * stop + n_tok)
              / (n_tok + 5.0 * punct
                 + (CASE WHEN n_tok > 0 THEN n_char / n_tok ELSE 0.0 END)
                 + 1.0) AS score,
              CASE WHEN n_tok > 0 THEN n_types / n_tok ELSE 1.0 END AS ttr
       FROM q
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    term AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS nll
+      FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    ),
+    docn AS (
+      SELECT doc_id, SUM(nll) AS nll_sum, COUNT(*) AS n_tok_nll
+      FROM term GROUP BY doc_id
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -135,8 +151,11 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
            CAST(SUM(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE) AS total_ttr,
            CAST(SUM(CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_repetitious
-    FROM s
+             AS n_repetitious,
+           CAST(SUM(COALESCE(nll_sum, 0)) AS DOUBLE) AS total_nll,
+           CAST(SUM(CASE WHEN nll_sum > 3.5 * n_tok_nll THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hi_surprisal
+    FROM s LEFT JOIN docn USING (doc_id)
     GROUP BY source
     """,
     tags=("text", "quality"),
@@ -144,9 +163,20 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (rational arithmetic only → deterministic);
     per-source keep/drop accounting as a filter pipeline would use it.
-    Includes the repetition signal quality filters use alongside the score:
-    type-token ratio (distinct words / words, per-row array math — no
-    shuffle) with a count of docs under the 0.3 repetitious threshold."""
+    Alongside the heuristic score: the repetition signal (type-token ratio,
+    per-row array math, docs under 0.3 flagged) and the statistical-LM
+    signal (per-token unigram negative log-likelihood — the cheap stand-in
+    for perplexity filtering). Each token's surprisal rounds to 6 decimals
+    then sums as exact DECIMAL, so the float-transcendental step is per-value
+    (engines agree after rounding — verified against the corpus vocab) and
+    every aggregation is order-independent. Docs whose mean surprisal
+    exceeds 3.5 nats/token are flagged (in this corpus: the near-dup marker
+    token is ~35× rarer than the base vocab, so marker-dense docs surface).
+
+    Scale shape: the unigram table is vocabulary-sized → broadcast to score
+    tokens (at 100 TB a natural-language vocab is ~1e6-1e7 rows — still
+    broadcastable; beyond that, bucket both sides on the token). The doc
+    re-join shuffles on doc_id; everything else is map-side-combined aggs."""
     d = par(T(spark, sf_dir, "documents"))
     score = quality_score(F.col("text"))
     toks = tokens(F.col("text"))
@@ -154,8 +184,31 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = F.when(
         n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
     ).otherwise(F.lit(1.0))
+    base = d.select(
+        "doc_id",
+        "source",
+        score.alias("score"),
+        ttr.alias("ttr"),
+        F.split(F.lower(F.trim("text")), r"\s+").alias("lw"),
+        F.trim("text").alias("_t"),
+    )
+    ex = base.filter(F.col("_t") != "").select(
+        "doc_id", F.explode("lw").alias("w")
+    )
+    cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    term = ex.join(F.broadcast(cnt.crossJoin(tot)), "w").select(
+        "doc_id",
+        F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+    docn = term.groupBy("doc_id").agg(
+        F.sum("nll").alias("nll_sum"), F.count(F.lit(1)).alias("n_tok_nll")
+    )
+    hi = F.col("nll_sum") > F.lit("3.5").cast("decimal(2,1)") * F.col("n_tok_nll")
     return (
-        d.select("source", score.alias("score"), ttr.alias("ttr"))
+        base.join(docn, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -167,6 +220,10 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ttr") < 0.3, 1).otherwise(0))
             .cast("bigint")
             .alias("n_repetitious"),
+            F.sum(F.coalesce(F.col("nll_sum"), F.lit(0).cast("decimal(28,6)")))
+            .cast("double")
+            .alias("total_nll"),
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n_hi_surprisal"),
         )
     )
 
