@@ -22,6 +22,7 @@ from minarrow_spark.operators.clustering import (
     kmeans_fit,
 )
 from minarrow_spark.operators.graph import connected_components, dedup_clusters
+from minarrow_spark.operators.pca import gramian, pca_fit, pca_project
 from minarrow_spark.operators.joins import asof_join
 from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
 
@@ -33,4 +34,5 @@ __all__ = [
     "stratified_hash_sample", "train_test_split",
     "cosine_sim", "connected_components", "dedup_clusters",
     "cluster_balanced_sample", "kmeans_assign", "kmeans_fit",
+    "gramian", "pca_fit", "pca_project",
 ]

@@ -373,6 +373,7 @@ _PACK_SHARDS = 8    # parallel packing shards per language
     GROUP BY lang, shard
     """,
     tags=("text", "packing", "W4"),
+    bench=True,  # tracks the packing/cumulative-window tier round-over-round
 )
 def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing accounting for the concat-and-chunk pretraining
