@@ -245,8 +245,11 @@ def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_null_qty,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
            TRUE AS approx_parts_ok,
-           TRUE AS approx_orders_ok
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_p90_ok
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -261,7 +264,11 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count: `approx_*_ok` is TRUE iff the rsd=0.02 sketch lands within
     10% of COUNT(DISTINCT). The sketch is deterministic for fixed input, so
     the boolean is a *hash-checked* error bound — strictly stronger than the
-    rows-only driver check an approximate query would otherwise get.
+    rows-only driver check an approximate query would otherwise get. Same
+    pattern for quantiles: exact interpolated median/p90 (linear
+    interpolation matches DuckDB `quantile_cont`; rounded to 6 digits) with
+    the `percentile_approx` sketch — the 100 TB path, since exact
+    percentiles sort within groups — bounded to ±1 quantity unit.
 
     Physical shape: the two EXACT distinct counts come from two-level
     aggregations (distinct → count) joined back on the 3-row group key —
@@ -287,6 +294,9 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_qty"),
         F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.percentile_approx("l_quantity", 0.9).alias("_p90a"),
     )
 
     def exact_distinct(col: str, alias: str):
@@ -315,8 +325,15 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_qty",
         "n_parts",
         "n_null_qty",
+        "median_qty",
+        "p90_qty",
         within(F.col("_ap"), F.col("n_parts")).alias("approx_parts_ok"),
         within(F.col("_ao"), F.col("_n_orders")).alias("approx_orders_ok"),
+        # quantity is unit-grained, so the t-digest-style sketch (the 100 TB
+        # path) must land within one unit of the exact-sort percentile
+        (F.abs(F.col("_p90a").cast("double") - F.col("p90_qty")) <= 1.0).alias(
+            "approx_p90_ok"
+        ),
     )
 
 
