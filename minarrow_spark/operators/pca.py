@@ -33,51 +33,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _partial_schema() -> pa.Schema:
-    return pa.schema(
-        [
-            pa.field("gram", pa.list_(pa.float64())),
-            pa.field("sums", pa.list_(pa.float64())),
-            pa.field("n", pa.int64()),
-        ]
-    )
-
-
 def gramian(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray, int]:
     """(XᵀX, column sums, row count) of the embedding matrix, distributed.
 
-    Per-batch numpy partials → element-wise group-sum of O(batches × d²)
-    scalars → three tiny driver-side model-state values."""
-    out_schema = _partial_schema()
+    Per-batch numpy partials (d² gram + d sums + 1 count, one flat vector)
+    → element-wise group-sum of O(batches × d²) scalars → one job, one tiny
+    collect of driver-side model state."""
+    out_schema = pa.schema([pa.field("vals", pa.list_(pa.float64()))])
 
     def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             col = b.column(b.schema.get_field_index(vec_col))
-            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
-                col = col.combine_chunks()
             flat = np.asarray(col.flatten(), dtype=np.float64)
             n = len(col)
             if n == 0:
                 continue
             x = flat.reshape(n, -1)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "gram": [list((x.T @ x).ravel())],
-                    "sums": [list(x.sum(axis=0))],
-                    "n": [n],
-                },
-                schema=out_schema,
-            )
+            v = np.concatenate([(x.T @ x).ravel(), x.sum(axis=0), [float(n)]])
+            yield pa.RecordBatch.from_pydict({"vals": [list(v)]}, schema=out_schema)
 
-    part = df.select(vec_col).mapInArrow(partials, "gram array<double>, sums array<double>, n bigint")
-    ex = part.select(
-        "n", F.posexplode(F.concat("gram", "sums")).alias("idx", "val")
+    part = df.select(vec_col).mapInArrow(partials, "vals array<double>")
+    agg = (
+        part.select(F.posexplode("vals").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("s"))
+        .orderBy("idx")
     )
-    agg = ex.groupBy("idx").agg(F.sum("val").alias("s")).orderBy("idx")
-    n_total = part.agg(F.sum("n")).collect()[0][0] or 0
     vals = np.array([r["s"] for r in agg.collect()])
-    d = int(round((np.sqrt(4 * len(vals) + 1) - 1) / 2))  # len = d² + d
-    return vals[: d * d].reshape(d, d), vals[d * d :], int(n_total)
+    d = int(round((np.sqrt(4 * (len(vals) - 1) + 1) - 1) / 2))  # d² + d + 1
+    return (
+        vals[: d * d].reshape(d, d),
+        vals[d * d : d * d + d],
+        int(round(vals[-1])),
+    )
 
 
 def pca_fit(
