@@ -52,11 +52,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf (runtime-settable) reads it as epoch-nanos long instead. Set
         # here, not only in session defaults, so driver-owned sessions work.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts math (unix_micros, casts) must agree with DuckDB's naive-as-UTC
+        # epoch_us; pin the tz here too so driver-owned sessions match.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as epoch-nanos (nanosAsLong); truncate to µs —
-        # the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) read as epoch-nanos (nanosAsLong); truncate to
+            # µs — the truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Parquet timestamp[us] without tz loads as TIMESTAMP_NTZ, which
+            # unix_micros/watermarks reject; under the UTC session tz this cast
+            # is the identity on the underlying micros (naive-as-UTC instant).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
