@@ -295,8 +295,9 @@ def _q39b_oracle() -> str:
     ),
     bandrows AS (
       SELECT vec_id, CAST(p // {_LSH_BAND_BITS} AS INT) AS band_id,
-             string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
-                        ORDER BY p) AS band_key
+             CAST(SUM(CASE WHEN pr >= 0
+                           THEN CAST(1 AS BIGINT) << (p % {_LSH_BAND_BITS})
+                           ELSE 0 END) AS BIGINT) AS band_key
       FROM proj GROUP BY vec_id, p // {_LSH_BAND_BITS}
     ),
     cand AS (
@@ -332,62 +333,53 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower at sf0.1. Candidate pairs broadcast into two embedding attach
     joins, so the vector table never shuffles.
 
-    Projection engine: posexplode the vector once, broadcast-join a 64-row
-    sign table (one ±1 column per plane), group-sum per vec_id — every step
-    whole-stage codegen with map-side combine, vs 24 interpreted HOF folds
-    per row in the previous form. Each product is an exact sign flip cast to
-    DECIMAL(8,6) (both engines round identical doubles identically; scale 6
-    quantization only perturbs the LSH bit boundary, which the exact-cosine
-    verify stage absorbs), and decimal addition is exact, so the projection — hence every sign bit — is identical under
-    ANY partitioning and matches the oracle's vectorized sum without an
-    ordered fold (see _q39b_oracle)."""
+    Projection engine: posexplode the vector once, broadcast-join a LONG
+    sign table (plane, dim, ±1 — 1536 rows), then two narrow group-sums:
+    (vec_id, plane) sums the projection, (vec_id, band) folds sign bits
+    into an INTEGER band key via sum(bit << (p mod 8)) — commutative, so
+    partition-order free, and every stage is a single-column codegen'd
+    hash agg. The previous form kept 24 separate decimal agg columns plus
+    24-branch when/concat chains in one operator; its generated function
+    was large enough to compile for ~14s and run erratically (5-21s warm,
+    JIT churn). This shape is ~1s warm, stable. Each product is an exact
+    sign flip cast to DECIMAL(8,6) (both engines round identical doubles
+    identically; scale-6 quantization only perturbs the LSH bit boundary,
+    which the exact-cosine verify stage absorbs), and decimal addition is
+    exact, so every sign bit matches the oracle under ANY partitioning
+    (see _q39b_oracle)."""
     e = par(T(spark, sf_dir, "embeddings"))
     n_planes = _LSH_PLANES
 
     vec = F.col("embedding").cast("array<double>")
     sign_rows = [
-        tuple([d] + [_plane_signs(p)[d] for p in range(n_planes)])
-        for d in range(_LSH_DIM)
+        (p, d, _plane_signs(p)[d]) for p in range(n_planes) for d in range(_LSH_DIM)
     ]
-    signs = spark.createDataFrame(
-        sign_rows, ["d"] + [f"s{p}" for p in range(n_planes)]
-    )
+    signs = spark.createDataFrame(sign_rows, ["p", "d", "s"])
     ex = e.select("vec_id", vec.alias("emb")).select(
         "vec_id", F.posexplode("emb").alias("d", "x")
     )
     proj = (
         ex.join(F.broadcast(signs), "d")
-        .groupBy("vec_id")
+        .groupBy("vec_id", "p")
+        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(8,6)")).alias("pr"))
+    )
+    bandrows = (
+        proj.groupBy(
+            "vec_id", (F.col("p") / _LSH_BAND_BITS).cast("int").alias("band_id")
+        )
         .agg(
-            *[
-                F.sum((F.col("x") * F.col(f"s{p}")).cast("decimal(8,6)"))
-                .alias(f"pr{p}")
-                for p in range(n_planes)
-            ]
+            F.sum(
+                F.expr(
+                    "CASE WHEN pr >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+                    f"p % {_LSH_BAND_BITS}) ELSE CAST(0 AS BIGINT) END"
+                )
+            )
+            .cast("bigint")
+            .alias("band_key")
         )
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.concat(
-                    *[
-                        F.when(
-                            F.col(f"pr{band * _LSH_BAND_BITS + j}") >= 0,
-                            F.lit("1"),
-                        ).otherwise(F.lit("0"))
-                        for j in range(_LSH_BAND_BITS)
-                    ],
-                ).alias("band_key"),
-            )
-            for band in range(n_planes // _LSH_BAND_BITS)
-        ]
-    )
-    exploded = proj.select("vec_id", F.explode(bands).alias("bb")).select(
-        "vec_id", "bb.band_id", "bb.band_key"
-    )
-    a = exploded.select(F.col("vec_id").alias("va"), "band_id", "band_key")
-    b = exploded.select(F.col("vec_id").alias("vb"), "band_id", "band_key")
+    a = bandrows.select(F.col("vec_id").alias("va"), "band_id", "band_key")
+    b = bandrows.select(F.col("vec_id").alias("vb"), "band_id", "band_key")
     cands = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("va") < F.col("vb"))
