@@ -228,29 +228,162 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q33_SAMPLE_FRAC = 0.10  # deterministic hash-sample rate (salt "s1")
+_Q33_TEST_FRAC = 0.20  # train/test split rate (salt "split")
+_Q33_QUOTA = 200  # per-source quota (balanced-mixture sampling)
+
+
+def _q33_oracle() -> str:
+    from minarrow_spark.operators.sampling import hex_threshold
+
+    t_s = hex_threshold(_Q33_SAMPLE_FRAC)
+    t_t = hex_threshold(_Q33_TEST_FRAC)
+    return f"""
+    WITH fps AS (
+      SELECT source, doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h_s,
+             substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h_t,
+             substr(md5('q|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h_q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h_q, doc_id)
+               AS qr
+      FROM fps
+    ),
+    acc AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+             MIN(fp) AS min_fp,
+             CAST(SUM(CASE WHEN h_s < '{t_s}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sample,
+             CAST(SUM(CASE WHEN h_s < '{t_s}' THEN n_chars ELSE 0 END)
+                  AS BIGINT) AS sample_chars,
+             CAST(SUM(CASE WHEN h_t < '{t_t}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             CAST(SUM(CASE WHEN qr <= {_Q33_QUOTA} THEN n_chars ELSE 0 END)
+                  AS BIGINT) AS quota_chars
+      FROM ranked GROUP BY source
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scoredterms AS (
+      SELECT tf.source, tf.term,
+             round(tf.tf * round(ln(CAST(nd.n AS DOUBLE) / dfreq.df), 6), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    topt AS (
+      SELECT source, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, term) AS r
+      FROM scoredterms
+    ),
+    tops AS (
+      SELECT source,
+             concat_ws(',', MAX(CASE WHEN r = 1 THEN term END),
+                            MAX(CASE WHEN r = 2 THEN term END),
+                            MAX(CASE WHEN r = 3 THEN term END)) AS top_terms,
+             MAX(CASE WHEN r = 1 THEN tfidf END) AS top_tfidf
+      FROM topt WHERE r <= 3 GROUP BY source
+    )
+    SELECT acc.*, tops.top_terms, tops.top_tfidf
+    FROM acc JOIN tops USING (source)
+    """
+
+
 @query(
     "q33_fingerprint",
-    oracle="""
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
-                AS BIGINT) AS n_unique,
-           min(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS min_fp
-    FROM documents
-    GROUP BY source
-    """,
-    tags=("text", "fingerprint"),
+    oracle=_q33_oracle(),
+    tags=("text", "fingerprint", "tfidf", "sampling"),
 )
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-text md5 fingerprinting; per-source uniqueness accounting
-    (the scalable pre-pass for exact dedup)."""
+    """Per-source corpus accounting suite: fingerprint uniqueness +
+    deterministic sampling + TF-IDF characteristic terms.
+
+    * Normalized-text md5 fingerprinting (the scalable pre-pass for exact
+      dedup): doc counts, distinct fingerprints, min fingerprint.
+    * Deterministic hash sampling (operators/sampling.py): 10% sample
+      counts/chars, 20% test-split counts — the reproducible, joinable
+      alternative to per-row RNG at 100 TB (pure filter, no shuffle), here
+      verified cross-engine against the identical md5-threshold oracle.
+    * Per-source quota sampling (balanced-mixture lever): chars of the 200
+      docs with the smallest salted hash per source — two-phase at scale
+      (per-partition top-K then merge; here the rank window on the source
+      key, one shuffle).
+    * TF-IDF: tf over (source, term), doc-level df, idf = ln(N/df) rounded
+      per-value to 6 digits (the q32 transcendental-determinism pattern),
+      top-3 terms per source with (tfidf desc, term) tie-break.
+
+    One documents scan feeds the accounting branch; the token explode feeds
+    tf and df aggs with map-side combine; per-source results join broadcast.
+    """
+    from minarrow_spark.operators.sampling import hash_key, hex_threshold
+
     d = par(T(spark, sf_dir, "documents"))
     fp = fingerprint(F.col("text"))
-    return d.select("source", fp.alias("fp")).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fp").alias("n_unique"),
-        F.min("fp").alias("min_fp"),
+    base = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        fp.alias("fp"),
+        hash_key(F.col("doc_id"), "s1").alias("h_s"),
+        hash_key(F.col("doc_id"), "split").alias("h_t"),
+        hash_key(F.col("doc_id"), "q").alias("h_q"),
     )
+    in_sample = F.col("h_s") < F.lit(hex_threshold(_Q33_SAMPLE_FRAC))
+    in_test = F.col("h_t") < F.lit(hex_threshold(_Q33_TEST_FRAC))
+    qw = W.partitionBy("source").orderBy("h_q", "doc_id")
+    acc = (
+        base.withColumn("qr", F.row_number().over(qw))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.min("fp").alias("min_fp"),
+            F.sum(F.when(in_sample, 1).otherwise(0)).cast("bigint").alias("n_sample"),
+            F.sum(F.when(in_sample, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sample_chars"),
+            F.sum(F.when(in_test, 1).otherwise(0)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("qr") <= _Q33_QUOTA, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("quota_chars"),
+        )
+    )
+    tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.round(F.log(F.col("n").cast("double") / F.col("df")), 6)
+    scored = tf.join(F.broadcast(dfreq.crossJoin(nd)), "term").select(
+        "source", "term", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    tw = W.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    topt = scored.withColumn("r", F.row_number().over(tw)).filter(F.col("r") <= 3)
+    tops = topt.groupBy("source").agg(
+        F.concat_ws(
+            ",",
+            F.max(F.when(F.col("r") == 1, F.col("term"))),
+            F.max(F.when(F.col("r") == 2, F.col("term"))),
+            F.max(F.when(F.col("r") == 3, F.col("term"))),
+        ).alias("top_terms"),
+        F.max(F.when(F.col("r") == 1, F.col("tfidf"))).alias("top_tfidf"),
+    )
+    return acc.join(F.broadcast(tops), "source")
 
 
 @query(
