@@ -38,8 +38,8 @@ def main() -> None:
 
     # Steady-state measurement: each query runs once untimed (absorbs
     # whole-stage-codegen compilation + JIT, which on a long-lived cluster
-    # is a one-time cost), then three timed runs; the reported number is the
-    # per-query BEST of the three. Rationale: single-sample timings on this
+    # is a one-time cost), then five timed runs; the reported number is the
+    # per-query BEST of the five. Rationale: single-sample timings on this
     # host show multi-second transient spikes uncorrelated with the query
     # (same executed plan, same join strategies — VM CPU/GC noise), so the
     # minimum is the faithful steady-state capability measure, the same
@@ -48,7 +48,7 @@ def main() -> None:
         materialize(qs[name].fn(spark, sf_dir))
 
     times: dict[str, float] = {}
-    for _ in range(3):
+    for _ in range(5):
         for name in names:
             t0 = time.perf_counter()
             materialize(qs[name].fn(spark, sf_dir))

@@ -1,4 +1,10 @@
 from minarrow_spark.streaming.ingest import read_event_stream, replay_dir, run_to_memory
+from minarrow_spark.streaming.rollup import (
+    continuous_rollup,
+    rollup_batch_twin,
+    rollup_view,
+    rollup_writer,
+)
 from minarrow_spark.streaming.windows import (
     dedup_within_watermark,
     running_totals_per_user,
@@ -8,6 +14,7 @@ from minarrow_spark.streaming.windows import (
 
 __all__ = [
     "read_event_stream", "replay_dir", "run_to_memory",
+    "continuous_rollup", "rollup_batch_twin", "rollup_view", "rollup_writer",
     "dedup_within_watermark", "running_totals_per_user", "stream_pair_join",
     "windowed_counts",
 ]

@@ -214,3 +214,38 @@ def test_stream_pair_join_matches_batch(spark, sf_dir, replay):
         assert _canon(streamed) == _canon(batch)
     finally:
         q.stop()
+
+
+def test_continuous_rollup_matches_batch_and_is_idempotent(
+    spark, sf_dir, replay, tmp_path
+):
+    """The continuous aggregate (streaming/rollup.py) must equal the one-shot
+    batch rollup after draining the replay stream, and re-writing a batch id
+    (a foreachBatch replay after failure) must not change the merged view."""
+    from minarrow_spark.streaming import (
+        continuous_rollup,
+        rollup_batch_twin,
+        rollup_view,
+        rollup_writer,
+    )
+
+    rollup_dir = str(tmp_path / "rollup")
+    q = continuous_rollup(
+        read_event_stream(spark, replay),
+        rollup_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    merged = rollup_view(spark, rollup_dir)
+    batch = rollup_batch_twin(load_table(spark, sf_dir, "events"))
+    assert _canon(merged) == _canon(batch)
+
+    # Idempotent replay: re-run batch 0's write (same batch_id, fresh data
+    # slice from the same chunk) — the per-batch overwrite must leave the
+    # merged result unchanged.
+    import os
+
+    chunk0 = spark.read.parquet(os.path.join(replay, "chunk=0000"))
+    rollup_writer(rollup_dir)(chunk0, 0)
+    assert _canon(rollup_view(spark, rollup_dir)) == _canon(batch)
