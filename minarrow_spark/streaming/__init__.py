@@ -1,5 +1,6 @@
 from minarrow_spark.streaming.ingest import read_event_stream, replay_dir, run_to_memory
 from minarrow_spark.streaming.rollup import (
+    compact_rollup,
     continuous_rollup,
     rollup_batch_twin,
     rollup_view,
@@ -14,7 +15,8 @@ from minarrow_spark.streaming.windows import (
 
 __all__ = [
     "read_event_stream", "replay_dir", "run_to_memory",
-    "continuous_rollup", "rollup_batch_twin", "rollup_view", "rollup_writer",
+    "compact_rollup", "continuous_rollup", "rollup_batch_twin", "rollup_view",
+    "rollup_writer",
     "dedup_within_watermark", "running_totals_per_user", "stream_pair_join",
     "windowed_counts",
 ]

@@ -106,3 +106,26 @@ def rollup_batch_twin(events: DataFrame, window: str = "1 hour") -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+def compact_rollup(
+    spark: SparkSession, rollup_dir: str, out_dir: str, window_col: str = "window_start"
+) -> DataFrame:
+    """Fold accumulated batch=* partials into one consolidated partial set
+    (the LSM compaction step: many small per-batch files → one file per
+    shuffle partition, same merge algebra, identical view results).
+
+    Writes to ``out_dir`` (never in place — a live maintenance stream may
+    still be appending to ``rollup_dir``; the caller swaps directories or
+    repoints readers once the write commits). Returns the compacted frame.
+    """
+    compacted = (
+        spark.read.parquet(rollup_dir)
+        .groupBy(window_col, "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("value_cents").cast("bigint").alias("value_cents"),
+        )
+    )
+    compacted.write.mode("overwrite").parquet(out_dir)
+    return compacted

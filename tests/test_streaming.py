@@ -249,3 +249,22 @@ def test_continuous_rollup_matches_batch_and_is_idempotent(
     chunk0 = spark.read.parquet(os.path.join(replay, "chunk=0000"))
     rollup_writer(rollup_dir)(chunk0, 0)
     assert _canon(rollup_view(spark, rollup_dir)) == _canon(batch)
+
+
+def test_rollup_compaction_preserves_view(spark, sf_dir, replay, tmp_path):
+    """Compacting batch=* partials into one consolidated set must not change
+    the merged rollup (same decomposable-measure algebra)."""
+    from minarrow_spark.streaming import continuous_rollup, rollup_view
+    from minarrow_spark.streaming.rollup import compact_rollup
+
+    rollup_dir = str(tmp_path / "rollup")
+    q = continuous_rollup(
+        read_event_stream(spark, replay),
+        rollup_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    before = _canon(rollup_view(spark, rollup_dir))
+    out = str(tmp_path / "compacted")
+    compact_rollup(spark, rollup_dir, out)
+    assert _canon(rollup_view(spark, out)) == before
