@@ -144,6 +144,38 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docn AS (
       SELECT doc_id, SUM(nll) AS nll_sum, COUNT(*) AS n_tok_nll
       FROM term GROUP BY doc_id
+    ),
+    gr AS (
+      SELECT t.doc_id,
+             unnest(list_transform(range(1, greatest(len(t.w) - 2, 1)),
+                    i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2]
+                         || ' ' || t.w[i+3])) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE trim(text) <> '') t
+    ),
+    gd AS (SELECT doc_id, g, COUNT(*) AS occ FROM gr GROUP BY doc_id, g),
+    gdf AS (
+      SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY g) AS dfg FROM gd
+    ),
+    grshared AS (
+      SELECT doc_id, SUM(occ) AS n_shared FROM gdf WHERE dfg >= 2
+      GROUP BY doc_id
+    ),
+    ngr AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE greatest(len(regexp_split_to_array(lower(trim(text)),
+                                                          '\\s+')) - 3, 0)
+             END AS n_gr
+      FROM documents
+    ),
+    bp AS (
+      SELECT ngr.doc_id,
+             CASE WHEN ngr.n_gr > 0
+                  THEN round(CAST(COALESCE(grshared.n_shared, 0) AS DOUBLE)
+                             / ngr.n_gr, 6)
+                  ELSE 0.0 END AS bp_frac
+      FROM ngr LEFT JOIN grshared USING (doc_id)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -154,8 +186,12 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_repetitious,
            CAST(SUM(COALESCE(nll_sum, 0)) AS DOUBLE) AS total_nll,
            CAST(SUM(CASE WHEN nll_sum > 3.5 * n_tok_nll THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_hi_surprisal
-    FROM s LEFT JOIN docn USING (doc_id)
+                AS BIGINT) AS n_hi_surprisal,
+           CAST(SUM(CAST(COALESCE(bp_frac, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_bp_frac,
+           CAST(SUM(CASE WHEN COALESCE(bp_frac, 0.0) >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate
+    FROM s LEFT JOIN docn USING (doc_id) LEFT JOIN bp USING (doc_id)
     GROUP BY source
     """,
     tags=("text", "quality"),
@@ -173,10 +209,22 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds 3.5 nats/token are flagged (in this corpus: the near-dup marker
     token is ~35× rarer than the base vocab, so marker-dense docs surface).
 
+    Alongside: the inter-document boilerplate signal (C4/RefinedWeb-style):
+    the fraction of a doc's word 4-grams that also appear in at least one
+    OTHER document — repeated spans (headers, license text, templates) that
+    a cleaning pipeline strips. Doc-frequency of grams comes from one
+    distinct + one map-side-combined agg; per-doc fractions round to 6
+    digits then sum as exact decimal (the same per-value-rounding contract
+    as the surprisal tier). Docs with ≥50% shared spans are flagged.
+
     Scale shape: the unigram table is vocabulary-sized → broadcast to score
     tokens (at 100 TB a natural-language vocab is ~1e6-1e7 rows — still
-    broadcastable; beyond that, bucket both sides on the token). The doc
-    re-join shuffles on doc_id; everything else is map-side-combined aggs."""
+    broadcastable; beyond that, bucket both sides on the token). The gram
+    doc-frequency table is corpus-sized at 100 TB — that tier buckets both
+    sides on the gram hash instead of broadcasting (the q35/q41 shape). The
+    doc re-joins shuffle on doc_id; everything else is map-side combined."""
+    from minarrow_spark.functions.text import shingles
+
     d = par(T(spark, sf_dir, "documents"))
     score = quality_score(F.col("text"))
     toks = tokens(F.col("text"))
@@ -190,11 +238,29 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         ttr.alias("ttr"),
         F.split(F.lower(F.trim("text")), r"\s+").alias("lw"),
+        shingles(F.col("text"), 4).alias("sh4"),
         F.trim("text").alias("_t"),
+    ).withColumn(
+        # gram count is pure arithmetic (n_tokens − 3, floored at 0) — the
+        # final-branch evaluation never re-runs the shingle transform (it is
+        # column-pruned away; only the gr branch pays it, once).
+        "n_gr",
+        F.when(F.col("_t") == "", F.lit(0)).otherwise(
+            F.greatest(F.size("lw") - 3, F.lit(0))
+        ),
     )
     ex = base.filter(F.col("_t") != "").select(
         "doc_id", F.explode("lw").alias("w")
     )
+    gr = base.filter(F.col("_t") != "").select("doc_id", F.explode("sh4").alias("g"))
+    gd = gr.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("occ"))
+    gdf = gd.withColumn("dfg", F.count(F.lit(1)).over(W.partitionBy("g")))
+    grshared = (
+        gdf.filter(F.col("dfg") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("occ").cast("bigint").alias("n_shared"))
+    )
+    bp = grshared
     cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
     term = ex.join(F.broadcast(cnt.crossJoin(tot)), "w").select(
@@ -207,8 +273,15 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nll").alias("nll_sum"), F.count(F.lit(1)).alias("n_tok_nll")
     )
     hi = F.col("nll_sum") > F.lit("3.5").cast("decimal(2,1)") * F.col("n_tok_nll")
+    bpf = F.when(
+        F.col("n_gr") > 0,
+        F.round(
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_gr"), 6
+        ),
+    ).otherwise(F.lit(0.0))
     return (
         base.join(docn, "doc_id", "left")
+        .join(bp, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -224,6 +297,10 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_nll"),
             F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n_hi_surprisal"),
+            F.sum(bpf.cast("decimal(18,6)")).cast("double").alias("total_bp_frac"),
+            F.sum(F.when(bpf >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boilerplate"),
         )
     )
 
