@@ -45,12 +45,18 @@ def main() -> None:
 
     n = 1_000_000_000
     t_sum = best_of(lambda: spark.range(n).agg(F.sum("id")).collect())
+    t_fsum = best_of(
+        lambda: spark.range(n).agg(F.sum(F.col("id").cast("double"))).collect()
+    )
     t_pq = best_of(lambda: li.agg(F.sum("l_extendedprice")).collect())
     out = {
         "sum_1e9_i64_sec": round(t_sum, 4),
         "sum_1e9_i64_gelem_per_s": round(n / t_sum / 1e9, 2),
         "reference_sum_1e9_i64_sec": 0.1139,  # BASELINE.md, SIMD+Rayon, 22 CPUs
         "ratio_vs_reference": round(t_sum / 0.1139, 2),
+        "sum_1e9_f64_sec": round(t_fsum, 4),
+        "reference_sum_1e9_f64_sec": 0.1141,  # BASELINE.md src/lib.rs:92
+        "ratio_f64_vs_reference": round(t_fsum / 0.1141, 2),
         "parquet_sum_lineitem_f64_sec": round(t_pq, 4),
         "cpus": spark.sparkContext.defaultParallelism,
     }
