@@ -617,25 +617,45 @@ def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.py — the reproducible 100 TB alternative to per-row
     RNG `df.sample()`): per-bucket counts of a 10% key-hash sample and of
     the 20/10/70 train_test_split tiers, hash-checked against the oracle
-    reproducing the identical md5-threshold math."""
+    reproducing the identical md5-threshold math.
+
+    The aggregation runs through `salted_agg` (operators/skew.py): 16
+    groups over 150k+ rows is exactly the hot-key shape — stage 1 groups on
+    (bucket, random salt) spreading each bucket across reducers, stage 2
+    merges partials per bucket. Every measure is algebraic (counts and sums
+    merge as sums), so the result is salt-independent — the plain GROUP BY
+    oracle verifies the skew path end-to-end, upgrading the operator from
+    unit-tested to driver-checked."""
     from minarrow_spark.operators.sampling import sample_mask, train_test_split
+    from minarrow_spark.operators.skew import salted_agg
 
     o = train_test_split(
         T(spark, sf_dir, "orders"), key="o_orderkey", test=0.2, val=0.1
     )
-    pop = lambda m, name: F.sum(F.when(m, 1).otherwise(0)).cast("bigint").alias(name)
-    return (
-        o.groupBy(
-            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(dec("o_totalprice")).cast("double").alias("total"),
-            pop(sample_mask(F.col("o_orderkey"), 0.1, "s"), "n_s10"),
-            pop(F.col("split") == "test", "n_test"),
-            pop(F.col("split") == "val", "n_val"),
-            pop(F.col("split") == "train", "n_train"),
-        )
+    pop = lambda m, name: F.sum(F.when(m, 1).otherwise(0)).alias(name)
+    msum = lambda c, name: F.sum(c).cast("bigint").alias(name)
+    b = o.withColumn(
+        "bucket", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    )
+    return salted_agg(
+        b,
+        keys=["bucket"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum(dec("o_totalprice")).alias("t"),
+            pop(sample_mask(F.col("o_orderkey"), 0.1, "s"), "s10"),
+            pop(F.col("split") == "test", "tst"),
+            pop(F.col("split") == "val", "val"),
+            pop(F.col("split") == "train", "trn"),
+        ],
+        merge_aggs=[
+            msum("c", "n"),
+            F.sum("t").cast("double").alias("total"),
+            msum("s10", "n_s10"),
+            msum("tst", "n_test"),
+            msum("val", "n_val"),
+            msum("trn", "n_train"),
+        ],
     )
 
 

@@ -4,6 +4,7 @@ of the same specs (SURVEY §5 — watermark/session ops have no static oracle).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -244,8 +245,6 @@ def test_continuous_rollup_matches_batch_and_is_idempotent(
     # Idempotent replay: re-run batch 0's write (same batch_id, fresh data
     # slice from the same chunk) — the per-batch overwrite must leave the
     # merged result unchanged.
-    import os
-
     chunk0 = spark.read.parquet(os.path.join(replay, "chunk=0000"))
     rollup_writer(rollup_dir)(chunk0, 0)
     assert _canon(rollup_view(spark, rollup_dir)) == _canon(batch)
@@ -268,3 +267,16 @@ def test_rollup_compaction_preserves_view(spark, sf_dir, replay, tmp_path):
     out = str(tmp_path / "compacted")
     compact_rollup(spark, rollup_dir, out)
     assert _canon(rollup_view(spark, out)) == before
+
+
+def test_rollup_writer_handles_empty_batch(spark, sf_dir, replay, tmp_path):
+    """foreachBatch delivers empty micro-batches on idle triggers; an empty
+    partial must neither fail nor change the merged view."""
+    from minarrow_spark.streaming import rollup_view, rollup_writer
+
+    rollup_dir = str(tmp_path / "rollup")
+    chunk0 = spark.read.parquet(os.path.join(replay, "chunk=0000"))
+    rollup_writer(rollup_dir)(chunk0, 0)
+    before = _canon(rollup_view(spark, rollup_dir))
+    rollup_writer(rollup_dir)(chunk0.limit(0), 1)
+    assert _canon(rollup_view(spark, rollup_dir)) == before
