@@ -44,29 +44,43 @@ def main() -> None:
     # (same executed plan, same join strategies — VM CPU/GC noise), so the
     # minimum is the faithful steady-state capability measure, the same
     # convention micro-benchmark harnesses (e.g. hyperfine's `min`) report.
+    # A single broken query must not null the whole benchmark (a round-2
+    # testdata type change did exactly that): failures are recorded under
+    # "errors" — visibly, not silently — and the remaining queries still
+    # report their steady-state numbers.
+    errors: dict[str, str] = {}
     for name in names:
-        materialize(qs[name].fn(spark, sf_dir))
+        try:
+            materialize(qs[name].fn(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
 
     times: dict[str, float] = {}
     for _ in range(5):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            materialize(qs[name].fn(spark, sf_dir))
+            try:
+                materialize(qs[name].fn(spark, sf_dir))
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                times.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
