@@ -9,6 +9,7 @@ from minarrow_spark.streaming.rollup import (
 from minarrow_spark.streaming.windows import (
     dedup_within_watermark,
     running_totals_per_user,
+    session_stats,
     stream_pair_join,
     windowed_counts,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "read_event_stream", "replay_dir", "run_to_memory",
     "compact_rollup", "continuous_rollup", "rollup_batch_twin", "rollup_view",
     "rollup_writer",
-    "dedup_within_watermark", "running_totals_per_user", "stream_pair_join",
+    "dedup_within_watermark", "running_totals_per_user", "session_stats",
+    "stream_pair_join",
     "windowed_counts",
 ]

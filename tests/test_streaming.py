@@ -280,3 +280,44 @@ def test_rollup_writer_handles_empty_batch(spark, sf_dir, replay, tmp_path):
     before = _canon(rollup_view(spark, rollup_dir))
     rollup_writer(rollup_dir)(chunk0.limit(0), 1)
     assert _canon(rollup_view(spark, rollup_dir)) == before
+
+
+def test_session_window_matches_batch_and_manual(spark, sf_dir, replay):
+    """Native F.session_window sessionization: streaming == batch, and the
+    per-user session event-counts agree with q47's manual lag/cumsum form
+    (same 30-min gap semantics, independent implementations)."""
+    from minarrow_spark.registry import all_queries
+    from minarrow_spark.streaming import session_stats
+
+    q = run_to_memory(
+        session_stats(read_event_stream(spark, replay)),
+        "sess_out",
+        output_mode="complete",
+    )
+    try:
+        streamed = spark.sql("SELECT * FROM sess_out")
+        batch = session_stats(load_table(spark, sf_dir, "events"))
+        assert _canon(streamed) == _canon(batch)
+
+        # Cross-check against the manual form: ordinal sessions per user
+        # must carry identical event counts.
+        manual = all_queries()["q47_sessionization"].fn(spark, sf_dir)
+        a = sorted(
+            (r.user_id, r.session_id, r.n_events)
+            for r in manual.select("user_id", "session_id", "n_events").collect()
+        )
+        from pyspark.sql import Window as W
+
+        ranked = batch.withColumn(
+            "session_id",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("session_start")
+            ),
+        )
+        b = sorted(
+            (r.user_id, r.session_id, r.n_events)
+            for r in ranked.select("user_id", "session_id", "n_events").collect()
+        )
+        assert a == b
+    finally:
+        q.stop()
