@@ -491,14 +491,20 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tg AS (SELECT DISTINCT doc_id, gram FROM tg0),
     cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
-    hits AS (
-      SELECT tg.doc_id, COUNT(*) AS n_shared
-      FROM tg JOIN bg ON tg.gram = bg.gram
-      GROUP BY tg.doc_id
+    ntr AS (SELECT COUNT(*) AS n FROM train),
+    sh AS (SELECT tg.doc_id, tg.gram FROM tg JOIN bg ON tg.gram = bg.gram),
+    dfg AS (SELECT gram, COUNT(*) AS df FROM sh GROUP BY gram),
+    sev AS (
+      SELECT sh.doc_id, COUNT(*) AS n_shared,
+             SUM(CAST(round(ln(CAST(ntr.n AS DOUBLE) / dfg.df), 6)
+                      AS DECIMAL(18,6))) AS severity
+      FROM sh JOIN dfg USING (gram) CROSS JOIN ntr
+      GROUP BY sh.doc_id
     )
-    SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
-           round(CAST(h.n_shared AS DOUBLE) / c.n_grams, 6) AS frac_shared
-    FROM hits h JOIN cnt c ON c.doc_id = h.doc_id
+    SELECT s.doc_id, CAST(s.n_shared AS BIGINT) AS n_shared,
+           round(CAST(s.n_shared AS DOUBLE) / c.n_grams, 6) AS frac_shared,
+           CAST(s.severity AS DOUBLE) AS severity
+    FROM sev s JOIN cnt c ON c.doc_id = s.doc_id
     """,
     tags=("text", "decontaminate"),
 )
@@ -510,13 +516,22 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus token-dropped copies of the benchmark docs (id +200000), the
     known-contaminated population the check must catch.
 
+    Alongside the raw overlap, each contaminated doc gets a BM25-flavored
+    SEVERITY: the sum of idf weights ln(N_train/df) over its shared grams —
+    many-document boilerplate grams weigh little, a rare benchmark-specific
+    gram weighs a lot (the ranked-retrieval weighting applied to
+    contamination triage). Weights use the per-value-round-then-exact-sum
+    transcendental contract (q32).
+
     Scale shape: the benchmark gram set is DISTINCT'd then broadcast —
     eval benchmarks are MB-scale against a 100 TB corpus, so the training
     side's grams explode map-side and probe the broadcast hash table with
-    no shuffle; the only fact-side shuffles are the two map-side-combined
-    per-doc groupBys (gram count + hit count). Per-doc distinct grams stay
-    in per-row arrays until the explode (same zero-shuffle trick as q35's
-    shingle table)."""
+    no shuffle; the only fact-side shuffles are the map-side-combined
+    per-doc groupBys. Doc-frequency for the idf weights is computed ONLY
+    over the shared-gram set (benchmark-bounded, not corpus-bounded), which
+    is GC-scope checkpointed once so the heavy train-side shingle pass is
+    not re-evaluated per consumer. Per-doc distinct grams stay in per-row
+    arrays until the explode (same zero-shuffle trick as q35)."""
     from minarrow_spark.functions.text import shingles
 
     d = par(T(spark, sf_dir, "documents"))
@@ -534,11 +549,28 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = garr(bench).select(F.explode("garr").alias("gram")).distinct()
     tg = garr(train).select("doc_id", F.explode("garr").alias("gram"))
     cnt = garr(train).select("doc_id", F.size("garr").alias("n_grams"))
-    hits = tg.join(F.broadcast(bg), "gram").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
+    ntr = train.agg(F.count(F.lit(1)).alias("n"))
+    # Shared (doc, gram) rows: benchmark-bounded, feeds two consumers
+    # (doc-frequency + weighted rollup) — materialize once, GC-scoped.
+    shared = (
+        tg.join(F.broadcast(bg), "gram").localCheckpoint(eager=False)
+    )
+    dfg = shared.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        F.round(F.log(F.col("n").cast("double") / F.col("df")), 6)
+        .cast("decimal(18,6)")
+        .alias("w")
+    )
+    sev = (
+        shared.join(F.broadcast(dfg.crossJoin(ntr).select("gram", w)), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum("w").alias("severity"),
+        )
     )
     return (
-        F.broadcast(hits)
+        F.broadcast(sev)
         .join(cnt, "doc_id")
         .select(
             "doc_id",
@@ -546,6 +578,7 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_shared").cast("double") / F.col("n_grams"), 6
             ).alias("frac_shared"),
+            F.col("severity").cast("double").alias("severity"),
         )
     )
 
