@@ -98,6 +98,17 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # partitioning — the groupBy must NOT add a second exchange.
         ("q42_sequence_packing", 1),
         ("q47_sessionization", 2),
+        # Round-3 suite growth: budgets pinned at measured shape + 1 slack.
+        # q32: quality + surprisal + boilerplate tiers (the gram window
+        # must reuse the (doc,gram) agg partitioning, not re-shuffle).
+        ("q32_quality_score", 10),
+        # q33: accounting + quota window + tf/df aggs + top-terms window.
+        ("q33_fingerprint", 7),
+        # q41: benchmark-bounded severity adds only dfg + doc rollup.
+        ("q41_decontaminate", 4),
+        # q29: salted two-stage = exactly one extra exchange over plain agg.
+        ("q29_hash_buckets", 2),
+        ("q39b_lsh_buckets", 8),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
