@@ -8,6 +8,7 @@ from minarrow_spark.streaming.rollup import (
 )
 from minarrow_spark.streaming.windows import (
     dedup_within_watermark,
+    hopping_counts,
     running_totals_per_user,
     session_stats,
     stream_pair_join,
@@ -18,7 +19,8 @@ __all__ = [
     "read_event_stream", "replay_dir", "run_to_memory",
     "compact_rollup", "continuous_rollup", "rollup_batch_twin", "rollup_view",
     "rollup_writer",
-    "dedup_within_watermark", "running_totals_per_user", "session_stats",
+    "dedup_within_watermark", "hopping_counts", "running_totals_per_user",
+    "session_stats",
     "stream_pair_join",
     "windowed_counts",
 ]

@@ -145,3 +145,24 @@ def session_stats(
             "n_events",
         )
     )
+
+
+def hopping_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Sliding 30-min windows every 10 min under a watermark — the streaming
+    twin of q46_hopping_window (each event lands in 3 windows; state for
+    windows past the watermark is evicted)."""
+    stream = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        stream.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )

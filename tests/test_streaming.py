@@ -321,3 +321,20 @@ def test_session_window_matches_batch_and_manual(spark, sf_dir, replay):
         assert a == b
     finally:
         q.stop()
+
+
+def test_hopping_counts_matches_batch(spark, sf_dir, replay):
+    """Sliding-window streaming twin == batch recomputation (ST4)."""
+    from minarrow_spark.streaming import hopping_counts
+
+    q = run_to_memory(
+        hopping_counts(read_event_stream(spark, replay)),
+        "hop_out",
+        output_mode="complete",
+    )
+    try:
+        streamed = spark.sql("SELECT * FROM hop_out")
+        batch = hopping_counts(load_table(spark, sf_dir, "events"))
+        assert _canon(streamed) == _canon(batch)
+    finally:
+        q.stop()
