@@ -9,11 +9,19 @@ Determinism rules used throughout (see tests/test_oracle.py):
 
 * SUM over doubles is order-sensitive → route through exact arithmetic:
   cast to DECIMAL(18,2) before summing (exact, order-independent in both
-  engines), cast the final aggregate back to DOUBLE.
+  engines), cast the final aggregate back to DOUBLE. Where per-group
+  magnitudes are provably bounded, scaled-integer longs are the faster
+  exact form (q04's cents × basis points) — widen to decimal before any
+  unbounded final merge.
+* Transcendentals (ln, etc.) round PER-VALUE to ≤6 digits, then aggregate
+  as exact decimal (q32 NLL, q33 idf, q41 severity) — never sum raw
+  doubles across partitions.
 * AVG/variance → computed from exact decimal partial sums with scalar
   double math at the end (identical IEEE ops on identical inputs).
 * Per-row double expressions are bit-deterministic across engines (same
   IEEE 754 ops) and need no rounding.
+* Bit/bucket keys fold as integers with commutative ops — e.g. q39b's LSH
+  band key `sum(bit << plane_pos)` — not as ordered string concatenation.
 * Output columns are canonical types only: BIGINT, DOUBLE, VARCHAR,
   BOOLEAN — never raw timestamps/decimals (cross-engine hashing hazards).
 * Any ORDER BY used for ranking/top-k carries a unique tie-break key.
