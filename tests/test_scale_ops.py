@@ -161,3 +161,50 @@ def test_par_guard_is_noop_when_parallel(spark, sf_dir):
     wide = docs.repartition(target + 4)
     # already-parallel input: par() returns the SAME plan, no new exchange
     assert par(wide) is wide
+
+
+def test_int8_quantization_bounds_error_and_preserves_topk(spark, sf_dir):
+    """int8 scalar quantization: per-element reconstruction error is bounded
+    by scale/2, and brute-force top-10 over dequantized vectors recalls
+    >=90% of the exact neighbors (the coarse-search-then-rerank contract)."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from minarrow_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = dequantize_embeddings(quantize_embeddings(e))
+
+    err = q.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("embedding_hat"),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            - F.col("q_scale") / 2
+        ).alias("excess")
+    ).first()["excess"]
+    assert err <= 1e-9, f"reconstruction error exceeds scale/2 by {err}"
+
+    probes = lambda df, c: df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col(c).alias("q_vec")
+    )
+    exact = brute_force_topk(probes(e, "embedding"), e, k=10)
+    approx = brute_force_topk(
+        probes(q, "embedding_hat"),
+        q.select("vec_id", F.col("embedding_hat").alias("embedding")),
+        k=10,
+    )
+    ex = {(r.q_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.q_id, r.vec_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"quantized top-k recall {recall:.2f} < 0.9"
