@@ -208,3 +208,30 @@ def test_int8_quantization_bounds_error_and_preserves_topk(spark, sf_dir):
     ap = {(r.q_id, r.vec_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.9, f"quantized top-k recall {recall:.2f} < 0.9"
+
+
+def test_quantization_edge_vectors(spark):
+    """Constant vectors (scale 0) must round-trip exactly; negative-valued
+    vectors must stay within the scale/2 bound."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [2.5] * 8),            # constant → scale 0
+        (2, [-1.0, -0.5, 0.0, 0.25, 0.5, 1.0, -0.75, 0.125]),
+        (3, [0.0] * 8),            # constant zero
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dequantize_embeddings(quantize_embeddings(df)).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[1].embedding_hat == [2.5] * 8
+    assert by_id[3].embedding_hat == [0.0] * 8
+    r2 = by_id[2]
+    bound = r2.q_scale / 2 + 1e-12
+    assert all(
+        abs(a - b) <= bound for a, b in zip(r2.embedding, r2.embedding_hat)
+    )
