@@ -133,3 +133,43 @@ def shingles(text: Column, k: int = 3) -> Column:
         )
 
     return let_(tokens(text), body)
+
+
+def normalize_text(text: Column, lowercase: bool = False) -> Column:
+    """Cleaning-tier text normalization, pure Catalyst (codegen, zero
+    Python): strip C0/C1 control characters (except \\t \\n \\r), drop
+    zero-width/BOM code points, collapse all whitespace runs to single
+    spaces, trim. The canonical pre-pass before fingerprinting/dedup so
+    that invisible-character variants hash identically."""
+    t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+    t = F.regexp_replace(t, r"[​‌‍⁠﻿]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.lower(t) if lowercase else t
+
+
+def normalize_text_nfc(df, text_col: str = "text", form: str = "NFC"):
+    """Unicode canonical normalization (NFC/NFKC/NFD/NFKD) — no Catalyst
+    builtin exists, so this runs as an Arrow-batched mapInArrow pass
+    (vectorized pyarrow→python per batch, never per-row UDF overhead
+    beyond the column itself). Schema is preserved; only ``text_col`` is
+    rewritten. At 100 TB this is one streaming map stage, no shuffle."""
+    import unicodedata
+
+    import pyarrow as pa
+
+    schema = df.schema
+    idx = schema.fieldNames().index(text_col)
+
+    def norm_batches(batches):
+        for batch in batches:
+            col = batch.column(idx)
+            normed = pa.array(
+                [
+                    None if v is None else unicodedata.normalize(form, v)
+                    for v in col.to_pylist()
+                ],
+                type=col.type,
+            )
+            yield batch.set_column(idx, batch.schema.field(idx), normed)
+
+    return df.mapInArrow(norm_batches, schema)

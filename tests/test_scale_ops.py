@@ -235,3 +235,30 @@ def test_quantization_edge_vectors(spark):
     assert all(
         abs(a - b) <= bound for a, b in zip(r2.embedding, r2.embedding_hat)
     )
+
+
+def test_normalize_text_catalyst_and_nfc(spark):
+    """Catalyst normalization strips controls/zero-widths and collapses
+    whitespace; the Arrow NFC pass makes composed/decomposed forms hash
+    identically (the invisible-variant dedup failure mode)."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.functions.text import normalize_text, normalize_text_nfc
+
+    rows = [
+        (1, "a\x00b​c   d\te\r\nf"),
+        (2, "café again"),      # decomposed é
+        (3, "café again"),        # precomposed é
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r.id: r.norm
+        for r in df.select("id", normalize_text(F.col("text")).alias("norm")).collect()
+    }
+    assert out[1] == "abc d e f"
+    assert out[4] is None
+
+    nfc = {r.id: r.text for r in normalize_text_nfc(df).collect()}
+    assert nfc[2] == nfc[3] == "café again"
+    assert nfc[4] is None
