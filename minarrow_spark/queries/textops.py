@@ -254,9 +254,20 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gr = base.filter(F.col("_t") != "").select("doc_id", F.explode("sh4").alias("g"))
     gd = gr.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("occ"))
-    gdf = gd.withColumn("dfg", F.count(F.lit(1)).over(W.partitionBy("g")))
+    # Gram doc-frequency as a map-side-combined agg + semi-join back — NOT a
+    # count-over-window on the gram key: window partitions get no partial
+    # aggregation and no AQE skew split, so at 100× the hottest boilerplate
+    # gram (exactly what this signal hunts) would land on one reducer.
+    # groupBy("g") combines map-side; the shared-gram key set is then
+    # benchmark-of-itself-sized and the semi-join carries no payload.
+    shared_grams = (
+        gd.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfg"))
+        .filter(F.col("dfg") >= 2)
+        .select("g")
+    )
     grshared = (
-        gdf.filter(F.col("dfg") >= 2)
+        gd.join(shared_grams, "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.sum("occ").cast("bigint").alias("n_shared"))
     )
