@@ -81,17 +81,19 @@ def quantize_embeddings(
     coarse search runs over codes, exact re-ranking dequantizes candidates.
 
     Each vector carries its own (offset, scale): code = round((x − min) /
-    scale) ∈ [0, 255]. Max reconstruction error is scale/2 per element.
-    Pure Catalyst (array_min/max + transform) — no Python, streams through
-    any scan. Constant vectors (max == min) get scale 0 and all-zero codes;
+    scale) − 128 ∈ [−128, 127], stored as TINYINT — a genuine 1-byte column
+    (parquet/Arrow int8), so the 4× at-rest shrink is real, not notional.
+    Max reconstruction error is scale/2 per element. Pure Catalyst
+    (array_min/max + transform) — no Python, streams through any scan.
+    Constant vectors (max == min) get scale 0 and all −128 codes;
     dequantization restores the constant exactly."""
     v = F.col(vec_col).cast("array<double>")
     lo, hi = F.array_min(v), F.array_max(v)
     scale = (hi - lo) / F.lit(255.0)
     codes = F.when(
-        scale == 0.0, F.transform(v, lambda x: F.lit(0))
+        scale == 0.0, F.transform(v, lambda x: F.lit(-128).cast("tinyint"))
     ).otherwise(
-        F.transform(v, lambda x: F.round((x - lo) / scale).cast("int"))
+        F.transform(v, lambda x: (F.round((x - lo) / scale) - 128).cast("tinyint"))
     )
     return df.withColumn("q_offset", lo).withColumn("q_scale", scale).withColumn(
         codes_col, codes
@@ -103,11 +105,14 @@ def dequantize_embeddings(
     codes_col: str = "codes",
     out_col: str = "embedding_hat",
 ) -> DataFrame:
-    """Inverse of `quantize_embeddings`: x̂ = code × scale + offset."""
+    """Inverse of `quantize_embeddings`: x̂ = (code + 128) × scale + offset.
+    The +128 un-shifts the tinyint range; constant vectors (scale 0, codes
+    all −128) reconstruct the constant exactly."""
     return df.withColumn(
         out_col,
         F.transform(
             F.col(codes_col),
-            lambda c: c.cast("double") * F.col("q_scale") + F.col("q_offset"),
+            lambda c: (c.cast("double") + 128.0) * F.col("q_scale")
+            + F.col("q_offset"),
         ),
     )

@@ -87,30 +87,90 @@ def _cell_col(col, lo: int, hi: int):
       FROM embeddings
     ),
     q AS (SELECT vec_id AS q_id, emb AS q_vec, cell FROM v WHERE vec_id < 5),
-    scored AS (
+    iscored AS (
       SELECT q.q_id, c.vec_id,
              round(list_cosine_similarity(q.q_vec, c.emb), 6) AS sim
       FROM v c JOIN q ON c.cell = q.cell AND c.vec_id <> q.q_id
     ),
-    ranked AS (
+    iranked AS (
       SELECT q_id, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-      FROM scored
+      FROM iscored
+    ),
+    qz AS (
+      SELECT vec_id, emb, list_min(emb) AS lo,
+             (list_max(emb) - list_min(emb)) / 255.0 AS scale
+      FROM v
+    ),
+    codes AS (
+      SELECT vec_id, lo, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(emb, x -> CAST(-128 AS TINYINT))
+                  ELSE list_transform(
+                         emb, x -> CAST(round((x - lo) / scale) - 128 AS TINYINT))
+             END AS codes
+      FROM qz
+    ),
+    deq AS (
+      SELECT vec_id,
+             list_transform(codes,
+                            c -> (CAST(c AS DOUBLE) + 128.0) * scale + lo) AS ehat
+      FROM codes
+    ),
+    coarse AS (
+      SELECT q.q_id, c.vec_id,
+             round(list_cosine_similarity(q.q_vec, c.ehat), 6) AS asim
+      FROM deq c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY asim DESC, vec_id) AS r
+        FROM coarse) WHERE r <= 10
+    ),
+    rescored AS (
+      SELECT cand.q_id, cand.vec_id,
+             round(list_cosine_similarity(q.q_vec, cv.emb), 6) AS sim
+      FROM cand JOIN q ON q.q_id = cand.q_id JOIN v cv ON cv.vec_id = cand.vec_id
     )
-    SELECT q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 10
+    SELECT 'ivf' AS tier, q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+    FROM iranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'int8' AS tier, q_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM rescored
     """,
-    tags=("similarity", "ann", "ivf"),
+    tags=("similarity", "ann", "ivf", "quantization"),
 )
 def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: vectors are assigned to coarse cells by a deterministic
-    quantizer (sign bits of dims 1-4 → 16 cells); each probe searches only
-    its own cell. The scale shape: cell assignment is a per-row projection,
-    probe→candidate matching is an equi-join on the cell key — at 100 TB the
-    candidate table is partitioned/bucketed by cell, so each probe touches
-    1/n_cells of the data instead of scanning everything (q38). Deterministic
-    quantizer → the oracle reproduces the same cells, so even the *approximate*
-    result is exactly checkable."""
+    """ANN suite: two scale paths for top-10 neighbors of 5 probes, both
+    exactly oracle-checked despite being approximate methods (deterministic
+    constructions — same trick as q39b's LSH).
+
+    * tier 'ivf' — IVF-style coarse cells: vectors assigned by a
+      deterministic quantizer (sign bits of dims 1-4 → 16 cells); each probe
+      searches only its own cell. At 100 TB the candidate table is
+      partitioned/bucketed by cell, so each probe touches 1/n_cells of the
+      data instead of scanning everything (q38).
+    * tier 'int8' — scalar-quantized coarse search then exact re-rank: the
+      whole corpus is int8-quantized (`quantize_embeddings` — genuine
+      TINYINT codes, 4× smaller at rest than float32), the coarse top-10
+      per probe is computed over DEQUANTIZED vectors (the pass that reads
+      4× less data at 100 TB), and those candidates are re-ranked with
+      exact cosine over the original vectors. Quantization is
+      round-half-up on per-vector (min, scale) — bit-reproducible in
+      DuckDB, so the candidate set and final ranks hash-match exactly.
+
+    Both tiers: probes broadcast; candidate sets are k×probes rows and
+    broadcast into the exact re-rank attach; the vector table never
+    shuffles."""
+    from minarrow_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
     e = par(T(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -118,16 +178,47 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_vec"), "cell"
     )
-    scored = (
+    iscored = (
         v.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine_sim(F.col("q_vec"), F.col("emb")).alias("sim"))
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    ivf = (
+        iscored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "sim", "rank")
+        .withColumn("tier", F.lit("ivf"))
     )
+
+    probes = q.select("q_id", "q_vec")
+    deq = dequantize_embeddings(
+        quantize_embeddings(e, vec_col="emb"), out_col="ehat"
+    ).select("vec_id", "ehat")
+    coarse = (
+        deq.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", cosine_sim(F.col("q_vec"), F.col("ehat")).alias("asim")
+        )
+    )
+    aw = W.partitionBy("q_id").orderBy(F.col("asim").desc(), "vec_id")
+    cand = (
+        coarse.withColumn("r", F.row_number().over(aw))
+        .filter(F.col("r") <= 10)
+        .select("q_id", "vec_id")
+    )
+    int8 = (
+        F.broadcast(cand)
+        .join(e, "vec_id")
+        .join(F.broadcast(probes), "q_id")
+        .select(
+            "q_id", "vec_id", cosine_sim(F.col("q_vec"), F.col("emb")).alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("tier", F.lit("int8"))
+    )
+    return ivf.unionByName(int8).select("tier", "q_id", "vec_id", "sim", "rank")
 
 
 @query(

@@ -226,9 +226,13 @@ def test_quantization_edge_vectors(spark):
         (3, [0.0] * 8),            # constant zero
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    out = dequantize_embeddings(quantize_embeddings(df)).collect()
+    quantized = quantize_embeddings(df)
+    # Codes are a genuine 1-byte column — the 4x at-rest claim depends on it.
+    assert dict(quantized.dtypes)["codes"] == "array<tinyint>"
+    out = dequantize_embeddings(quantized).collect()
     by_id = {r.vec_id: r for r in out}
     assert by_id[1].embedding_hat == [2.5] * 8
+    assert all(-128 <= c <= 127 for r in out for c in r.codes)
     assert by_id[3].embedding_hat == [0.0] * 8
     r2 = by_id[2]
     bound = r2.q_scale / 2 + 1e-12
