@@ -142,7 +142,9 @@ def normalize_text(text: Column, lowercase: bool = False) -> Column:
     spaces, trim. The canonical pre-pass before fingerprinting/dedup so
     that invisible-character variants hash identically."""
     t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
-    t = F.regexp_replace(t, r"[​‌‍⁠﻿]", "")
+    # ZWSP/ZWNJ/ZWJ/WORD-JOINER/BOM, written as escapes (literal invisible
+    # code points in source are unreviewable and formatter-fragile).
+    t = F.regexp_replace(t, "[\\u200b\\u200c\\u200d\\u2060\\ufeff]", "")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return F.lower(t) if lowercase else t
 

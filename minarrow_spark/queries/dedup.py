@@ -62,26 +62,90 @@ _CORPUS_NEAR = """
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 300000,
+             chr(8203) || regexp_replace(text, ' ', '  ', 'g')
+                       || chr(7) || ' ' || chr(9) || ' '
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 400000, text || ' caf' || chr(233)
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 500000, text || ' cafe' || chr(769)
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    normed AS (
+      SELECT doc_id,
+             nfc_normalize(
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     text,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+                   '[\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}]', '', 'g'),
+                 '\\s+', ' ', 'g'))) AS text
+      FROM corpus
     ),
     fps AS (
       SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-      FROM corpus
+      FROM normed
     )
     SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies
     FROM fps GROUP BY fp
     """,
-    tags=("dedup", "exact"),
+    tags=("dedup", "exact", "normalize"),
 )
 def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized fingerprint, keep-min-id.
-    Corpus augmented with exact copies of every 10th doc."""
+    """Exact dedup through the full normalization stack: Catalyst cleanup
+    (`normalize_text`: control/zero-width strip + whitespace collapse) →
+    Arrow-batched Unicode NFC (`normalize_text_nfc`, mapInArrow — DuckDB's
+    `nfc_normalize` is the oracle twin) → md5 fingerprint hash-groupBy,
+    keep-min-id.
+
+    The corpus is augmented with the variants a real crawl produces, so the
+    normalization tiers are what the oracle hash actually checks:
+    * +100000 — byte-exact copies (every 10th doc).
+    * +300000 — "dirty" copies: ZWSP prefix, doubled spaces, a BEL control,
+      trailing tab/space soup. Collapse to the base doc's fingerprint ONLY
+      if control/zero-width stripping and whitespace collapsing both work.
+    * +400000/+500000 — composed 'é' (U+00E9) vs decomposed 'e'+U+0301
+      suffix pairs (every 20th doc): byte-different, NFC-identical — they
+      merge ONLY if the NFC pass works.
+
+    Scale shape: normalization is a per-row projection plus one
+    shuffle-free Arrow map stage; dedup itself stays one shuffle on the
+    128-bit fingerprint."""
+    from minarrow_spark.functions.text import normalize_text, normalize_text_nfc
+
     d = par(T(spark, sf_dir, "documents")).select("doc_id", "text")
-    dups = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    tenth = d.filter(F.col("doc_id") % 10 == 0)
+    twentieth = d.filter(F.col("doc_id") % 20 == 0)
+    copies = tenth.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    dirty = tenth.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("\u200b"),
+            F.regexp_replace("text", " ", "  "),
+            F.lit("\x07 \t "),
+        ).alias("text"),
     )
-    return exact_dedup(d.unionByName(dups))
+    composed = twentieth.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat("text", F.lit(" caf\u00e9")).alias("text"),
+    )
+    decomposed = twentieth.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" cafe\u0301")).alias("text"),
+    )
+    corpus = d.unionByName(copies).unionByName(dirty).unionByName(
+        composed
+    ).unionByName(decomposed)
+    normed = normalize_text_nfc(
+        corpus.withColumn("text", normalize_text(F.col("text")))
+    )
+    return exact_dedup(normed)
 
 
 @query(

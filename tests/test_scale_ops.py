@@ -266,3 +266,30 @@ def test_normalize_text_catalyst_and_nfc(spark):
     nfc = {r.id: r.text for r in normalize_text_nfc(df).collect()}
     assert nfc[2] == nfc[3] == "café again"
     assert nfc[4] is None
+
+
+def test_q34_variants_actually_collapse(spark, sf_dir):
+    """The q34 oracle replicates the normalize pipeline, so a broken
+    normalizer could still hash-match — pin the SEMANTICS here: dirty
+    (zero-width/control/whitespace) variants land in the base doc's
+    fingerprint group, and the composed/decomposed NFC pair merges."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.registry import all_queries
+
+    out = all_queries()["q34_dedup_exact"].fn(spark, sf_dir)
+    trip = out.filter(F.col("n_copies") >= 3).count()
+    n_tenth = out.sparkSession.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 0
+    ).count()
+    # every 10th doc: base + exact copy + dirty copy in ONE group
+    assert trip >= n_tenth
+    # NFC pair groups: keep_id in the +400000 range with exactly 2 copies
+    nfc_pairs = out.filter(
+        (F.col("keep_id") >= 400000) & (F.col("keep_id") < 500000)
+        & (F.col("n_copies") == 2)
+    ).count()
+    n_twentieth = out.sparkSession.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).filter(F.col("doc_id") % 20 == 0).count()
+    assert nfc_pairs == n_twentieth
