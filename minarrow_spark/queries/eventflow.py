@@ -61,31 +61,85 @@ def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              e.value
       FROM events e CROSS JOIN hops h
     )
-    SELECT window_start,
+    SELECT 'hop' AS tier, window_start, '' AS event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM assigned
     WHERE ep >= window_start * 1000000
       AND ep < (window_start + 1800) * 1000000
     GROUP BY window_start
+    UNION ALL
+    SELECT 'rollup' AS tier,
+           (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600 AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0))
+                / 100 AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 2, 3
     """,
-    tags=("ST4", "streaming", "window"),
+    tags=("ST4", "ST1", "ST3", "streaming", "window", "rollup"),
 )
 def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 30-min windows every 10 min (each event lands in 3 windows)."""
+    """Event-time window suite, two tiers:
+
+    * tier 'hop' — sliding 30-min windows every 10 min (each event lands in
+      3 windows; F.window hop spec).
+    * tier 'rollup' — the continuous-aggregate serving path
+      (streaming/rollup.py) exercised end-to-end THROUGH ITS AT-REST FILES:
+      events are split into 3 deterministic micro-batches (event_id % 3),
+      each batch's partial aggregate is written to `batch=<id>` parquet via
+      the same `rollup_writer` callback foreachBatch uses (ST1 micro-batch
+      append), the partials are folded by `compact_rollup` (ST3/U3
+      consolidation), and the returned rows come from `rollup_view`'s
+      merge-on-read over the compacted files. The DuckDB twin is the plain
+      one-shot aggregate over raw events — equality PROVES the
+      partial/merge algebra (exact scaled-long cents) is lossless under
+      batch splits, restarts (idempotent overwrite), and compaction.
+
+    Scale shape: the hop tier is one map-side-combined shuffle; the rollup
+    tier's serving read scans rollup-cardinality rows (windows × types),
+    never raw history — the O(new-data) refresh pattern hypertables use."""
+    import shutil
+    from pathlib import Path
+
+    from minarrow_spark.streaming.rollup import (
+        compact_rollup,
+        rollup_view,
+        rollup_writer,
+    )
+
     e = T(spark, sf_dir, "events")
-    return (
+    hop = (
         e.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
         .select(
+            F.lit("hop").alias("tier"),
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            F.lit("").alias("event_type"),
             "n",
             "total_value",
         )
     )
+
+    scratch = Path("/root/repo/.scratch/rollup") / Path(sf_dir).name
+    shutil.rmtree(scratch, ignore_errors=True)
+    raw_dir, comp_dir = str(scratch / "partials"), str(scratch / "compacted")
+    write_batch = rollup_writer(raw_dir, "1 hour")
+    for b in range(3):
+        write_batch(e.filter(F.col("event_id") % 3 == b), b)
+    compact_rollup(spark, raw_dir, comp_dir)
+    roll = rollup_view(spark, comp_dir).select(
+        F.lit("rollup").alias("tier"),
+        F.col("window_start").cast("bigint").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    return hop.unionByName(roll)
 
 
 @query(
