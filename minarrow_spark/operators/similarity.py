@@ -71,6 +71,58 @@ def brute_force_topk(
     )
 
 
+def sign_cell(vec: Column, lo: int, hi: int) -> Column:
+    """Deterministic coarse-cell key: the sign bits of dims [lo, hi]
+    (1-based) as a '01...' string. Shared by IVF (q38b) and cell-blocked
+    dedup (q40); reproducible in SQL, so ANN/blocked pipelines stay
+    exactly oracle-checkable."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in range(lo, hi + 1)
+        ]
+    )
+
+
+def cell_blocked_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    cell_lo: int = 2,
+    cell_hi: int = 9,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-bit cell blocking: one equi-join on
+    the cell key instead of an all-pairs product, exact cosine ≥ threshold
+    within blocks.
+
+    ``cell_lo``/``cell_hi`` set the blocking width — THE selectivity lever
+    at scale. With b = hi−lo+1 sign bits, an unrelated pair collides with
+    p ≈ 2^−b, so expected candidate count ≈ n²/2^b (assuming balanced
+    cells):
+
+    | bits | unrelated-collision p | candidates at n=10⁶ |
+    |------|----------------------|---------------------|
+    |  8   | 1/256                | ~3.9e9 (too wide)   |
+    | 16   | 1/65 536             | ~1.5e7              |
+    | 24   | 1/1.7e7              | ~6.0e4              |
+
+    Widening costs recall only for pairs whose vectors disagree on an added
+    sign dim — true near-dups (cosine ≳ 0.9) rarely do, and narrowing the
+    width only ever ADDS pairs (output at b+k bits ⊆ output at b bits; the
+    monotonicity is pinned by test). Pick the width that makes per-cell
+    populations fit the n²-within-block budget at your corpus density."""
+    c = corpus.withColumn("cell", sign_cell(F.col(vec_col), cell_lo, cell_hi))
+    a = c.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), "cell")
+    b = c.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -291,9 +291,20 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "ngram", "jaccard"),
 )
-def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, bucket_chars: int = 20
+) -> DataFrame:
     """Character-4-gram jaccard near-dup pairs, blocked by (source,
     length-bucket) — the blocking keeps pair counts linear-ish.
+
+    ``bucket_chars`` is the blocking-width lever: bucket = n_chars //
+    bucket_chars, so WIDER buckets admit more cross-doc filler pairs
+    (output at width w is a subset of output at width 2w — coarsening is
+    output-monotone, pinned by test) while true dups share a bucket at any
+    width (variants carry the base doc's n_chars verbatim). At higher
+    corpus density, narrow the bucket (and/or add a second blocking key)
+    to keep per-block populations inside the n²-within-block budget —
+    same sizing logic as `cell_blocked_pairs`' bits table.
 
     Physical shape: per-doc DISTINCT gram arrays stay per-row (no gram
     explode — a gram-level distinct + two gram equi-joins shuffled ~11M
@@ -338,7 +349,7 @@ def q37_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     garr = corpus.select(
         "doc_id",
         "source",
-        (F.col("n_chars") / 20).cast("bigint").alias("blk"),
+        (F.col("n_chars") / bucket_chars).cast("bigint").alias("blk"),
         F.array_distinct(gram_arr).alias("garr"),
     ).localCheckpoint(eager=True)
     cnt = garr.select("doc_id", "source", "blk", F.size("garr").alias("n"))

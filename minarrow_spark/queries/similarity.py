@@ -70,12 +70,9 @@ def _cell_sql(col: str, lo: int, hi: int) -> str:
 
 def _cell_col(col, lo: int, hi: int):
     """Spark: sign-bit cell key over dims [lo, hi] (1-based, matches SQL)."""
-    return F.concat(
-        *[
-            F.when(F.element_at(col, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for d in range(lo, hi + 1)
-        ]
-    )
+    from minarrow_spark.operators.similarity import sign_cell
+
+    return sign_cell(col, lo, hi)
 
 
 @query(
@@ -250,7 +247,10 @@ def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by sign-bit cells over dims 2-9 — untouched by the perturbation, so true
     near-dups always share a cell — then exact cosine ≥ 0.8 within blocks.
     One equi-join on the 8-bit cell key instead of an all-pairs product; the
-    deterministic blocking lets the oracle reproduce the result exactly."""
+    deterministic blocking lets the oracle reproduce the result exactly.
+    Block width is the `cell_blocked_pairs(cell_lo, cell_hi)` parameter —
+    see the operator docstring's bits→candidate-count table for sizing at
+    higher corpus density (widening is output-monotone: pinned by test)."""
     e = par(T(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -260,16 +260,11 @@ def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("emb", 1) + 0.5), F.slice("emb", 2, 63)
         ).alias("emb"),
     )
-    corpus = e.unionByName(variants).withColumn(
-        "cell", _cell_col(F.col("emb"), 2, 9)
-    )
-    a = corpus.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"), "cell")
-    b = corpus.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"), "cell")
-    return (
-        a.join(b, "cell")
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
-        .filter(F.col("sim") >= 0.8)
+    from minarrow_spark.operators.similarity import cell_blocked_pairs
+
+    corpus = e.unionByName(variants)
+    return cell_blocked_pairs(
+        corpus, id_col="vec_id", vec_col="emb", cell_lo=2, cell_hi=9, threshold=0.8
     )
 
 
@@ -291,9 +286,18 @@ def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "near-dup"),
 )
-def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_similar_pairs(
+    spark: SparkSession, sf_dir: str, max_rows: int = 250_000
+) -> DataFrame:
     """Top-20 most-similar embedding pairs corpus-wide (exact all-pairs —
     the oracle/verification tier; the LSH tier below is the scale path).
+
+    GUARDED: this is deliberately the registry's one quadratic form (it
+    exists to label/verify the approximate tiers), and it broadcasts the
+    full corpus side — so it refuses to run past ``max_rows`` (default
+    250k ≈ 31G pair-sims, the edge of single-cluster-hours territory)
+    rather than melting at scale. Past the guard, use q39b_lsh_buckets
+    (banded sign-LSH, linear-ish) or q40's cell blocking.
 
     Per-vector norms are computed ONCE before the pair join, so each of the
     O(n²) pairs evaluates only the dot product (one array traversal instead
@@ -303,6 +307,13 @@ def q39_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minarrow_spark.operators.similarity import dot, norm
 
     e = par(T(spark, sf_dir, "embeddings"))
+    n = e.count()  # metadata-cheap on parquet; NOT row data collection
+    if n > max_rows:
+        raise ValueError(
+            f"q39_similar_pairs is the labeled O(n²) verification tier; corpus "
+            f"has {n} rows > max_rows={max_rows}. Use q39b_lsh_buckets "
+            f"(banded LSH) or cell_blocked_pairs (q40) at this scale."
+        )
     a = e.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
         norm(F.col("embedding")).alias("na"),

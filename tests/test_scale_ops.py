@@ -293,3 +293,54 @@ def test_q34_variants_actually_collapse(spark, sf_dir):
         f"{sf_dir}/documents.parquet"
     ).filter(F.col("doc_id") % 20 == 0).count()
     assert nfc_pairs == n_twentieth
+
+
+def test_cell_blocking_width_monotone(spark, sf_dir):
+    """Blocking width is the documented selectivity lever: widening the
+    sign-bit cell (more bits) can only DROP pairs, never add or change one
+    (output at b+k bits is a subset of output at b bits), and the synthetic
+    near-dups — perturbed only on dim 1, outside every cell — survive at
+    both widths."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.similarity import cell_blocked_pairs
+    from minarrow_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    variants = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + 0.5), F.slice("emb", 2, 63)
+        ).alias("emb"),
+    )
+    corpus = e.unionByName(variants)
+    narrow = {
+        (r.va, r.vb, r.sim)
+        for r in cell_blocked_pairs(corpus, cell_lo=2, cell_hi=9).collect()
+    }
+    wide = {
+        (r.va, r.vb, r.sim)
+        for r in cell_blocked_pairs(corpus, cell_lo=2, cell_hi=13).collect()
+    }
+    assert wide <= narrow
+    true_pairs = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in e.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    for pairs in (narrow, wide):
+        found = {(a, b) for a, b, _ in pairs}
+        assert true_pairs <= found
+
+
+def test_ngram_bucket_width_monotone(spark, sf_dir):
+    """q37's length-bucket width: coarser buckets (larger bucket_chars)
+    admit a superset of pairs; true dup pairs appear at every width."""
+    from minarrow_spark.registry import all_queries
+
+    fn = all_queries()["q37_ngram_jaccard"].fn
+    at20 = {(r.da, r.db) for r in fn(spark, sf_dir, bucket_chars=20).collect()}
+    at40 = {(r.da, r.db) for r in fn(spark, sf_dir, bucket_chars=40).collect()}
+    assert at20 <= at40
+    assert any(db == da + 100000 for da, db in at20)
