@@ -215,3 +215,45 @@ def test_unsigned_widening_policy(spark):
     assert (top.u8, top.u16, top.u32, top.u64) == (
         255, 65535, 2**32 - 1, Decimal(2**64 - 1),
     )
+
+
+def test_arrow_batches_vectorized_beats_row_path(spark):
+    """The export data plane must be Arrow end-to-end: one Python object per
+    BATCH crossing the driver boundary, not per row. Compared against the
+    old per-row Row.asDict rebuild (kept inline here as the yardstick) on
+    1M rows — same session, so VM noise hits both sides. At this size the\n    vectorized path is all fixed overhead (~0.8s flat) while the row path\n    scales linearly (~5.5s)."""
+    import time
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from minarrow_spark.sources.arrow_io import arrow_batches
+
+    df = spark.range(1_000_000).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("x"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    df.write.format("noop").mode("overwrite").save()  # warm the plan
+    sum(b.num_rows for b in arrow_batches(df))  # warm the python workers
+
+    def row_path():
+        schema = to_arrow_schema(df.schema)
+        buf = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= 1 << 16:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+
+    t0 = time.time()
+    n_vec = sum(b.num_rows for b in arrow_batches(df))
+    t_vec = time.time() - t0
+    t0 = time.time()
+    n_row = sum(b.num_rows for b in row_path())
+    t_row = time.time() - t0
+    assert n_vec == n_row == 1_000_000
+    # conservative 3x floor (measured ~7x warm at 1M rows; VM noise headroom)
+    assert t_vec * 3 < t_row, f"vectorized {t_vec:.2f}s vs row-path {t_row:.2f}s"
