@@ -7,6 +7,13 @@ Each query is fully materialized via the noop sink (count() would let
 Catalyst prune work). Each query runs once untimed first (absorbs JVM +
 whole-stage-codegen compilation — a one-time cost on a long-lived cluster),
 then once timed; the JSON reports the timed steady-state runs.
+
+A second scale point rides in the same JSON line under "scale10": the
+largest driver-provided testdata replicated 10× with per-replica key
+shifts (so join fan-outs and dedup/ANN candidate structures stay realistic
+instead of exploding quadratically on duplicated keys). sf0.1 timings on
+this host are scheduling-bound (<1s/query); the 10× point is where plan
+quality actually shows, making round-over-round perf claims meaningful.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -22,9 +30,88 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from minarrow_spark.registry import all_queries
 from minarrow_spark.session import get_spark
 
+# 10x-replica tier ----------------------------------------------------------
+
+_X10_DIR = "/root/repo/.scratch/bench_x10"
+_X10_SHIFT = 100_000_000  # divisible by every modulus the queries use (8,10,20,25)
+_X10_COPIES = 10
+# spanning subset: scan-agg, multi-join, LSH dedup, event window, ANN scan
+_X10_QUERIES = (
+    "q01_pricing_summary",
+    "q04_segment_revenue",
+    "q35_dedup_minhash",
+    "q45_tumbling_window",
+    "q38_ann_topk",
+)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _build_x10(spark, sf_dir: str) -> None:
+    """Replicate every table 10× with id/key columns shifted per replica —
+    keys ending in 'key' or '_id' move by replica*_X10_SHIFT, so cross-table
+    join keys stay consistent (both sides shift identically) and the
+    id-modulus augmentations (doc_id % 10 etc.) keep their classes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from minarrow_spark.sources.catalog import TABLES, table_path
+
+    marker = os.path.join(_X10_DIR, "_MARKER.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if json.load(fh).get("src") == sf_dir:
+                return
+    shutil.rmtree(_X10_DIR, ignore_errors=True)
+    os.makedirs(_X10_DIR, exist_ok=True)
+    for name in TABLES:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        id_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.LongType, T.IntegerType))
+            and (f.name.endswith("key") or f.name.endswith("_id"))
+        ]
+        reps = []
+        for i in range(_X10_COPIES):
+            rep = df
+            for c in id_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * _X10_SHIFT))
+            reps.append(rep)
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(table_path(_X10_DIR, name))
+    with open(marker, "w") as fh:
+        json.dump({"src": sf_dir, "copies": _X10_COPIES}, fh)
+
+
+def _run_x10(spark, qs, sf: float) -> dict:
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in _X10_QUERIES:
+        try:
+            materialize(qs[name].fn(spark, _X10_DIR))  # warm (codegen/JIT)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(qs[name].fn(spark, _X10_DIR))
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None or dt < best else best
+            times[name] = best
+        except Exception as ex:  # noqa: BLE001 — secondary tier, never fatal
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+    out = {
+        "sf": round(sf * _X10_COPIES, 4),
+        "value": round(sum(times.values()), 3) if not errors else None,
+        "queries": times,
+    }
+    if errors:
+        out["errors"] = errors
+        out["incomplete"] = True
+    return out
 
 
 def main() -> None:
@@ -73,13 +160,24 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3),
+        # a regression that BREAKS a query must not shrink the total into a
+        # fake improvement: with any error the headline value is null and
+        # the line is flagged incomplete (per-query times stay visible).
+        "value": round(sum(times.values()), 3) if not errors else None,
         "unit": "sec",
         "queries": times,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+        out["incomplete"] = True
+
+    try:
+        _build_x10(spark, sf_dir)
+        out["scale10"] = _run_x10(spark, qs, sf)
+    except Exception as ex:  # noqa: BLE001 — secondary tier, never fatal
+        out["scale10"] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+
     print(json.dumps(out))
 
 

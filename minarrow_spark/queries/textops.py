@@ -563,6 +563,12 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntr = train.agg(F.count(F.lit(1)).alias("n"))
     # Shared (doc, gram) rows: benchmark-bounded, feeds two consumers
     # (doc-frequency + weighted rollup) — materialize once, GC-scoped.
+    # eager=False is safe ONLY because the dfg side below is an explicit
+    # F.broadcast: the broadcast job runs (and materializes this checkpoint)
+    # strictly before the probe stage, so first touch is sequential. If the
+    # dfg attach ever stops broadcasting (scale/AQE fallback to a shuffle
+    # join), first touch becomes concurrent and the heavy train-side shingle
+    # pass runs twice (the q35 failure mode) — switch to eager=True then.
     shared = (
         tg.join(F.broadcast(bg), "gram").localCheckpoint(eager=False)
     )

@@ -62,12 +62,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) read as epoch-nanos (nanosAsLong); truncate to
             # µs — the truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(dt, (T.TimestampNTZType, T.DateType)):
-            # Parquet timestamp[us] without tz loads as TIMESTAMP_NTZ (and a
-            # future regeneration as date32 would load as DATE), which
+        elif isinstance(dt, T.TimestampNTZType):
+            # Parquet timestamp[us] without tz loads as TIMESTAMP_NTZ, which
             # unix_micros/watermarks reject; under the UTC session tz this cast
             # is the identity on the underlying micros (naive-as-UTC instant).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(dt, T.DateType):
+            # A date32 ts would be a LOSSY upstream change (time-of-day gone);
+            # silently casting would keep oracle checks green while streaming/
+            # session semantics quietly degrade — fail loudly instead.
+            raise TypeError(
+                "events.ts arrived as DATE (date32) — a lossy upstream type "
+                "change. Regenerate with timestamp precision or extend "
+                "load_table deliberately; refusing to silently cast."
+            )
     return df
 
 
