@@ -12,10 +12,18 @@ Fixed-iteration Lloyd's algorithm, Spark-first:
   operators/similarity.py `dot`); argmin via `least` over (dist, idx)
   structs — ties break to the lowest cluster index, deterministically.
 * **update** — per-dimension means via posexplode → groupBy (cluster, dim)
-  with EXACT decimal sums (order-independent under any partitioning →
-  bit-identical centroids on every run), rebuilt into arrays with
+  with EXACT scaled-long sums (each component rounds to 9 decimals as an
+  integer; integer addition is order-independent under any partitioning →
+  bit-identical centroids on every run, and — unlike a decimal→double
+  cast, whose final rounding is engine-implementation-defined — the mean
+  `(S/n)/1e9` is plain IEEE ops on exact operands, so a SQL engine
+  reproduces it bit-for-bit: that is what lets the q52 'kmeans' tier be
+  DuckDB-oracle-checked), rebuilt into arrays with
   `array_sort(collect_list(struct(dim, mean)))`. The shuffle moves only
-  (k × dim) tiny rows after map-side partial aggregation.
+  (k × dim) tiny rows after map-side partial aggregation. Bound: the
+  scaled sum S and n·1e9 stay under 2^53 for per-cluster populations up
+  to ~9e6 with |x| ≤ ~10; past that, drop the per-value scale (the knob
+  is `_MEAN_SCALE`).
 
 The iteration loop materializes ONLY the k×dim centroid matrix per step
 (exactly the model-state exchange MLlib's KMeans does via broadcast
@@ -34,7 +42,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SUM_DEC = "decimal(18,9)"  # exact, order-independent accumulation type
+_MEAN_SCALE = 1_000_000_000  # 9-decimal quantization as exact scaled longs
 
 
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:
@@ -76,10 +84,10 @@ def _centroid_rows(assigned: DataFrame, vec_col: str) -> DataFrame:
         "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
     ).toDF("cluster", "dim", "x")
     sums = ex.groupBy("cluster", "dim").agg(
-        F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+        F.sum(F.round(F.col("x") * _MEAN_SCALE).cast("long")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    mean = (F.col("s") / F.col("n")).cast(_SUM_DEC).cast("double")
+    mean = (F.col("s").cast("double") / F.col("n")) / float(_MEAN_SCALE)
     return sums.select("cluster", "n", "dim", mean.alias("m")).groupBy(
         "cluster"
     ).agg(
@@ -92,11 +100,16 @@ def _centroid_rows(assigned: DataFrame, vec_col: str) -> DataFrame:
 
 def exact_mean(values, scale: int = 9) -> float:
     """The update step's arithmetic, replicated for test oracles: each
-    double rounds to ``scale`` decimals HALF_UP (Spark's double→decimal
-    cast), sums exactly, divides, re-rounds HALF_UP."""
-    q = Decimal(1).scaleb(-scale)
-    s = sum(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP) for x in values)
-    return float((s / len(values)).quantize(q, ROUND_HALF_UP))
+    double x rounds as round(x·10^scale) HALF_UP on the double product
+    (Spark's F.round on DOUBLE — HALF_UP over the shortest decimal repr,
+    which coincides with round-half-away on the binary value), the integer
+    scaled sum S is exact, and the mean is the IEEE chain (S/n)/10^scale."""
+    m = 10**scale
+    s = sum(
+        int(Decimal(repr(float(x) * m)).quantize(Decimal(1), ROUND_HALF_UP))
+        for x in values
+    )
+    return (float(s) / len(values)) / float(m)
 
 
 def kmeans_fit(

@@ -402,10 +402,93 @@ def q27_table_broadcast_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q52 — Table↔Matrix: covariance matrix as a distributed aggregation
+# q52 — distributed linear algebra suite: covariance matrix + k-means
 # --------------------------------------------------------------------------
 
 _MAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
+_KM_SCALE = 1_000_000_000  # must match operators/clustering._MEAN_SCALE
+
+
+def _km_d2(emb: str, cent: str) -> str:
+    """Strict left-fold squared-L2 — DuckDB's list_reduce is the only list
+    aggregate that matches Spark's F.aggregate fold bit-for-bit (list_sum
+    uses compensated summation and diverges in the last ulp)."""
+    term = (
+        f"({emb}[CAST(i AS INT)] - {cent}[CAST(i AS INT)])"
+        f" * ({emb}[CAST(i AS INT)] - {cent}[CAST(i AS INT)])"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_KM_DIM + 1}), "
+        f"i -> {term})), (acc, x) -> acc + x)"
+    )
+
+
+def _km_oracle_ctes() -> str:
+    """Generate the full {_KM_ITERS}-iteration Lloyd's pipeline as DuckDB
+    CTEs: seed → (assign → update)×iters → final assign → stats. Mirrors
+    operators/clustering.py step for step (same seed order, same strict
+    fold, same tie-breaks, same scaled-long mean arithmetic)."""
+    k, iters = _KM_K, _KM_ITERS
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, "
+        f"emb AS cent FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(iters):
+        d2 = _km_d2("v.emb", "s.cent")
+        ctes.append(
+            f"d{t} AS (SELECT v.vec_id, v.emb, s.c, {d2} AS d2 "
+            f"FROM v CROSS JOIN cent{t} s)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, emb, c FROM ("
+            f"SELECT vec_id, emb, c, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, c) AS r FROM d{t}) WHERE r = 1)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT c, CAST(i AS INT) AS dim, "
+            f"(CAST(SUM(CAST(round(emb[CAST(i AS INT) + 1] * {_KM_SCALE}) "
+            f"AS BIGINT)) AS DOUBLE) / COUNT(*)) / {float(_KM_SCALE)} AS m "
+            f"FROM a{t}, range(0, {_KM_DIM}) t(i) GROUP BY c, CAST(i AS INT))"
+        )
+        ctes.append(
+            f"cm{t} AS (SELECT c, list(m ORDER BY dim) AS cent FROM m{t} "
+            f"GROUP BY c)"
+        )
+        ctes.append(
+            f"cent{t + 1} AS (SELECT p.c, COALESCE(cm.cent, p.cent) AS cent "
+            f"FROM cent{t} p LEFT JOIN cm{t} cm USING (c))"
+        )
+    d2f = _km_d2("v.emb", "s.cent")
+    ctes.append(
+        f"df AS (SELECT v.vec_id, s.c, {d2f} AS d2 FROM v CROSS JOIN cent{iters} s)"
+    )
+    ctes.append(
+        "af AS (SELECT vec_id, c, d2 FROM (SELECT vec_id, c, d2, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS r FROM df) "
+        "WHERE r = 1)"
+    )
+    ctes.append(
+        "kstats AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(CAST(round(d2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS inertia "
+        "FROM af GROUP BY c)"
+    )
+    return ", ".join(ctes)
+
+
+def _km_oracle_rows() -> str:
+    return f"""
+    SELECT 'kmeans' AS tier, 'c' || CAST(c AS VARCHAR) AS var_a,
+           'n' AS var_b, n AS cov FROM kstats
+    UNION ALL
+    SELECT 'kmeans', 'c' || CAST(c AS VARCHAR), 'inertia', inertia FROM kstats
+    UNION ALL
+    SELECT 'kmeans', 'c' || CAST(c AS VARCHAR),
+           'dim_' || lpad(CAST(i AS VARCHAR), 2, '0'),
+           cent[CAST(i AS INT) + 1]
+    FROM cent{_KM_ITERS}, range(0, {_KM_DIM}) t(i)
+    """
 
 
 def _cov_oracle() -> str:
@@ -423,25 +506,39 @@ def _cov_oracle() -> str:
         for j, b in enumerate(_MAT_COLS):
             p = f"p_{a}_{b}" if j >= i else f"p_{b}_{a}"
             rows.append(
-                f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+                f"SELECT 'cov' AS tier, '{a}' AS var_a, '{b}' AS var_b, "
                 f"({p} - s_{a} * s_{b} / n) / n AS cov FROM g"
             )
-    return "WITH g AS (SELECT " + ", ".join(sums) + " FROM lineitem) " + (
-        " UNION ALL ".join(rows)
+    return (
+        "WITH g AS (SELECT " + ", ".join(sums) + " FROM lineitem), "
+        + _km_oracle_ctes()
+        + " "
+        + " UNION ALL ".join(rows)
+        + " UNION ALL "
+        + _km_oracle_rows()
     )
 
 
-@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix",))
+@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix", "clustering"))
 def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population covariance matrix of three lineitem measures in long form
-    (var_a, var_b, cov) — the reference's dense `Matrix` + Table↔Matrix cast
-    story (`src/structs/matrix.rs:74,410-827`) re-expressed as a distributed
-    aggregation (the boundary-API counterpart is `sources.arrow_io.to_matrix`
-    / `from_matrix`, cross-checked against numpy.cov in tests/test_arrow_io):
-    ONE scan + ONE single-row reduce producing all n² cells
-    (partial aggregation map-side; no per-pair passes). Sums are exact
-    decimals so the result is order-independent; the covariance itself is a
-    scalar double expression evaluated identically in both engines."""
+    """Distributed linear-algebra suite, two tiers:
+
+    * tier 'cov' — population covariance matrix of three lineitem measures
+      in long form — the reference's dense `Matrix` + Table↔Matrix cast
+      story (`src/structs/matrix.rs:74,410-827`) re-expressed as ONE scan +
+      ONE single-row reduce producing all n² cells (partial aggregation
+      map-side; exact decimal sums → order-independent).
+    * tier 'kmeans' — fixed-iteration Lloyd's over the embeddings table
+      (operators/clustering.py: k=4, 2 iterations, deterministic lowest-id
+      seeds, zero-shuffle literal-centroid assignment, scaled-long exact
+      centroid means). The DuckDB twin replays the ENTIRE iterative
+      pipeline in SQL (generated CTEs: seed → assign → update ×2 → final
+      assign), so the driver hash checks every centroid component
+      (k×dim rows, bit-exact: DuckDB's list_reduce fold reproduces Spark's
+      F.aggregate fold, and the scaled-long mean arithmetic is plain IEEE
+      ops both engines share), plus per-cluster sizes and 6-digit-rounded
+      exact-decimal inertia. The k-means collects are k×dim MODEL STATE
+      per iteration — the sanctioned exception to the no-collect rule."""
     l = T(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _MAT_COLS:
@@ -462,8 +559,42 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("n")).alias("cov"),
                 )
             )
-    return g.select(F.explode(F.array(*cells)).alias("c")).select(
-        "c.var_a", "c.var_b", "c.cov"
+    cov = (
+        g.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.var_a", "c.var_b", "c.cov")
+        .withColumn("tier", F.lit("cov"))
+    )
+
+    from minarrow_spark.operators.clustering import kmeans_fit
+
+    e = T(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_fit(e, k=_KM_K, iters=_KM_ITERS)
+    kstats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round("dist2", 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("inertia"),
+    )
+    ca = F.concat(F.lit("c"), F.col("cluster")).alias("var_a")
+    kn = kstats.select(
+        F.lit("kmeans").alias("tier"), ca, F.lit("n").alias("var_b"),
+        F.col("n").alias("cov"),
+    )
+    ki = kstats.select(
+        F.lit("kmeans").alias("tier"), ca, F.lit("inertia").alias("var_b"),
+        F.col("inertia").alias("cov"),
+    )
+    kc = spark.createDataFrame(
+        [
+            ("kmeans", f"c{i}", f"dim_{d:02d}", float(cents[i][d]))
+            for i in range(_KM_K)
+            for d in range(_KM_DIM)
+        ],
+        ["tier", "var_a", "var_b", "cov"],
+    )
+    pick = lambda df: df.select("tier", "var_a", "var_b", "cov")
+    return pick(cov).unionByName(pick(kn)).unionByName(pick(ki)).unionByName(
+        pick(kc)
     )
 
 
