@@ -354,23 +354,87 @@ def jaccard_pairs_arr(cands: DataFrame, dsa: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit simhash per doc from token md5 nibbles.
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """``bits``-wide simhash per doc from token md5 nibbles (bits ≤ 32 —
+    one md5 per token covers 32 nibbles).
 
     Bit j of a token = high bit of hex nibble j of md5(token); the document
     bit is the majority vote over tokens; fingerprint = Σ bit_j·2^j.
-    One explode + one groupBy(doc_id) with 16 conditional sums — a single
-    shuffle, signature width is free (map-side combine)."""
+    One explode + one groupBy(doc_id) with ``bits`` conditional sums — a
+    single shuffle, signature width is free (map-side combine; plain long
+    sums stay far inside the codegen-size limits the q39b decimal form
+    hit)."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     nibble = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")
     votes = [
-        F.sum(F.when(nibble(j) >= 8, 1).otherwise(-1)).alias(f"v{j}") for j in range(16)
+        F.sum(F.when(nibble(j) >= 8, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
     ]
     voted = tok.groupBy("doc_id").agg(*votes)
     fp = None
-    for j in range(16):
+    for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return voted.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit simhash (see ``simhash``)."""
+    return simhash(docs, text_col, bits=16)
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs from simhash signatures via banded blocking: split the
+    ``bits``-wide fingerprint into ``bands`` equal bands; candidates share
+    at least one exact band (pigeonhole: hamming ≤ bands−1 GUARANTEES a
+    shared band, so recall at ``max_hamming`` < bands is exact, not
+    probabilistic); verify bit_count(xor) ≤ max_hamming on candidates only.
+
+    Scale shape: band rows are (doc_id, band_id, band_key) — integers only;
+    the self-join is an equi-join on the band key (the q35/q39b LSH shape),
+    candidates join back to the 2-column signature table. Band width
+    bits/bands is the selectivity lever: unrelated docs collide in one band
+    with p ≈ 2^−(bits/bands)."""
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    bandrows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(mask)
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a = bandrows.select(F.col("doc_id").alias("da"), "band_id", "band_key")
+    b = bandrows.select(F.col("doc_id").alias("db"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    ha = sig.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    hb = sig.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(ha, "da")
+        .join(hb, "db")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("da", "db", "hamming")
+    )

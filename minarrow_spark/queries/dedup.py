@@ -216,33 +216,125 @@ def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_votes(src: str, bits: int) -> str:
     votes = ",\n           ".join(
         f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 "
         f"THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(16)
+        for j in range(bits)
     )
-    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
     return f"""
-    WITH tok AS (
+    tok{bits} AS (
       SELECT doc_id,
              md5(unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS h
-      FROM documents
+      FROM {src}
     ),
-    votes AS (
+    votes{bits} AS (
       SELECT doc_id,
            {votes}
-      FROM tok GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+      FROM tok{bits} GROUP BY doc_id
+    ),
+    sig{bits} AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes{bits})
     """
 
 
-@query("q36_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def _simhash_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_simhash_votes('documents', 16).strip().rstrip()},
+    corpus AS (
+      SELECT doc_id, lower(trim(text)) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+')[6:], ' ')
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_simhash_votes('corpus', 32).strip().rstrip()},
+    bandrows AS (
+      SELECT doc_id, CAST(b AS INT) AS band_id,
+             (simhash >> (CAST(b AS INT) * 8)) & 255 AS band_key
+      FROM sig32, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bandrows a JOIN bandrows b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT c.da, c.db
+      FROM cand c
+      JOIN sig32 sa ON sa.doc_id = c.da
+      JOIN sig32 sb ON sb.doc_id = c.db
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    ),
+    verts AS (SELECT da AS id FROM edges UNION SELECT db FROM edges),
+    sym AS (
+      SELECT da AS u, db AS v FROM edges
+      UNION ALL SELECT db AS u, da AS v FROM edges
+    ),
+    reach AS (
+      SELECT id, id AS r FROM verts
+      UNION
+      SELECT s.v AS id, reach.r FROM reach JOIN sym s ON s.u = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS keep FROM reach GROUP BY id)
+    SELECT 'hash' AS tier, doc_id, simhash AS val, CAST(0 AS BIGINT) AS aux
+    FROM sig16
+    UNION ALL
+    SELECT 'clusters', id, keep, CAST(id = keep AS BIGINT) FROM comp
+    """
+
+
+@query(
+    "q36_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "simhash", "graph", "clusters"),
+)
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (term-frequency-weighted
-    bit majority vote over token md5 nibbles)."""
-    return simhash16(par(T(spark, sf_dir, "documents")))
+    """SimHash dedup suite, pairs-to-CLUSTERS end-to-end:
+
+    * tier 'hash' — 16-bit SimHash fingerprint per raw document
+      (term-frequency-weighted bit majority vote over token md5 nibbles).
+    * tier 'clusters' — the full production dedup loop over the augmented
+      corpus (near-dup variants id +100000): 32-bit simhash →
+      `simhash_hamming_pairs` banded blocking (4 bands × 8 bits; pigeonhole
+      makes recall at hamming ≤ 3 EXACT, not probabilistic) → verified
+      edges → `connected_components` (operators/graph.py, iterative
+      min-label propagation) → (doc_id, keep_id, is_keeper). The DuckDB
+      twin computes components with a recursive transitive-closure CTE, so
+      the iterative Spark fixpoint is hash-checked against an
+      independently-shaped exact algorithm — the strongest check in the
+      dedup family.
+
+    Scale shape: signatures are one explode + one map-side-combined
+    groupBy; band rows are integer triples through the self-join (the
+    q35/q39b LSH discipline); components move only a 2-column label table
+    per round (2-4 rounds on dup-shaped graphs)."""
+    d = par(T(spark, sf_dir, "documents"))
+    hash16 = simhash16(d).select(
+        F.lit("hash").alias("tier"),
+        "doc_id",
+        F.col("simhash").alias("val"),
+        F.lit(0).cast("bigint").alias("aux"),
+    )
+    from minarrow_spark.operators.dedup import simhash, simhash_hamming_pairs
+    from minarrow_spark.operators.graph import dedup_clusters
+
+    corpus = augment_with_near_dups(d)
+    sig = simhash(corpus, bits=32)
+    edges = simhash_hamming_pairs(sig, bits=32, bands=4, max_hamming=3)
+    clusters = dedup_clusters(edges)
+    cl = clusters.select(
+        F.lit("clusters").alias("tier"),
+        "doc_id",
+        F.col("keep_id").alias("val"),
+        F.col("is_keeper").cast("bigint").alias("aux"),
+    )
+    return hash16.unionByName(cl)
 
 
 @query(
