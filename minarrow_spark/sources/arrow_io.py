@@ -208,6 +208,32 @@ def arrow_batches(
             yield from reader
 
 
+def to_polars(df: DataFrame):
+    """DataFrame → polars.DataFrame via one Arrow collection (the
+    reference's `to_polars`, `/root/reference/src/structs/table.rs:718`).
+    Zero-copy from the Arrow table where polars allows it. Boundary API:
+    driver-resident result, same contract as ``to_arrow``/``to_matrix``.
+    Gated: polars is an optional dependency (absent in the test
+    container); the import error names the missing piece."""
+    try:
+        import polars as pl
+    except ImportError as ex:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "to_polars requires the optional 'polars' package "
+            "(pip install polars); the Arrow path (to_arrow) has no "
+            "extra dependency"
+        ) from ex
+    return pl.from_arrow(to_arrow(df))
+
+
+def from_polars(spark: SparkSession, pldf) -> DataFrame:
+    """polars.DataFrame → DataFrame through the Arrow import path (same
+    normalization policy as ``from_arrow``). Accepts anything exposing
+    ``to_arrow()``; no polars import needed here — the object brings its
+    own."""
+    return from_arrow(spark, pldf.to_arrow())
+
+
 def to_matrix(df: DataFrame, cols: list[str] | None = None):
     """DataFrame → dense 2-D numpy matrix (rows × cols) at the driver, via
     one Arrow collection — the reference's Table→Matrix cast

@@ -257,3 +257,42 @@ def test_arrow_batches_vectorized_beats_row_path(spark):
     assert n_vec == n_row == 1_000_000
     # conservative 3x floor (measured ~7x warm at 1M rows; VM noise headroom)
     assert t_vec * 3 < t_row, f"vectorized {t_vec:.2f}s vs row-path {t_row:.2f}s"
+
+
+def test_polars_bridge(spark):
+    """to_polars/from_polars (reference table.rs:718 parity): real round-trip
+    when polars is installed; a clean, named ImportError when it is not
+    (the container ships without polars — the gate is the contract)."""
+    import pytest
+
+    from minarrow_spark.sources.arrow_io import from_polars, to_polars
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("m"))
+    try:
+        import polars  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="polars"):
+            to_polars(df)
+        return
+    back = from_polars(spark, to_polars(df))
+    assert back.schema == df.schema
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+class _FakePolarsFrame:
+    """Anything exposing to_arrow() feeds from_polars — lets the import path
+    be tested without the polars package itself."""
+
+    def __init__(self, tbl):
+        self._tbl = tbl
+
+    def to_arrow(self):
+        return self._tbl
+
+
+def test_from_polars_duck_typed(spark):
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    df = __import__(
+        "minarrow_spark.sources.arrow_io", fromlist=["from_polars"]
+    ).from_polars(spark, _FakePolarsFrame(tbl))
+    assert [r.a for r in df.orderBy("a").collect()] == [1, 2, 3]

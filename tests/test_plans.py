@@ -109,6 +109,21 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # q29: salted two-stage = exactly one extra exchange over plain agg.
         ("q29_hash_buckets", 2),
         ("q39b_lsh_buckets", 8),
+        # Round-4 suite tiers: budgets pinned at measured shape + slack.
+        # q34: normalization stack + fingerprint groupBy = one shuffle
+        # (mapInArrow NFC is shuffle-free).
+        ("q34_dedup_exact", 2),
+        # q36: hash tier agg; the clusters tier's iterative work is cut by
+        # GC-scoped checkpoints, so the final plan must stay flat.
+        ("q36_simhash", 3),
+        # q38b: ivf window + int8 coarse window + re-rank window; probes,
+        # candidates, and the re-rank attaches all broadcast.
+        ("q38b_ivf_topk", 4),
+        # q46: hop agg + rollup merge-on-read agg — never raw-event joins.
+        ("q46_hopping_window", 3),
+        # q52: cov single-row reduce + kmeans final-assign stats agg
+        # (assignment itself is the zero-shuffle literal-centroid form).
+        ("q52_cov_matrix", 4),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
