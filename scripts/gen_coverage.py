@@ -18,9 +18,9 @@ EXTRA = {
     "S1": "tests/test_arrow_io.py::test_roundtrip_typed_table (`createDataFrame` typed build)",
     "S2": "sources/arrow_io.py `from_arrow` + tests/test_arrow_io.py",
     "S3": "sources/arrow_io.py `to_arrow` + tests/test_arrow_io.py",
-    "S4": "sources/arrow_io.py `arrow_batches` + streaming replay (streaming/ingest.py)",
+    "S4": "sources/arrow_io.py `arrow_batches` (vectorized per-partition IPC export) + streaming replay (streaming/ingest.py)",
     "S5": "inherited: PySpark's built-in Arrow bridge (pandas_udf / mapInArrow / toArrow)",
-    "S6": "sources/arrow_io.py round-trips (pyarrow interop); `df.toPandas()` built-in",
+    "S6": "sources/arrow_io.py `to_polars`/`from_polars` (import-gated) + pyarrow round-trips; `df.toPandas()` built-in",
     "S7": "n/a by design: Spark manages JVM↔Python exchange (Arrow IPC) and shuffle; no memfd analog needed",
     "S9": "tests/test_projection.py::test_show_sink_smoke (`df.show` render)",
     "P1": "operators/projection.py `c()` + tests/test_projection.py",
@@ -34,12 +34,12 @@ EXTRA = {
     "T17": "identity at the logical level (SURVEY §1.1 CategoricalArray row); dictionary encoding is physical (Parquet/Tungsten)",
     "T20": "q17_crosstab (same kernel as A5)",
     "U3": "streaming ingest consolidation (`coalesce`) — streaming/ingest.py replay_dir; inherited `df.coalesce`",
-    "ST1": "streaming/ingest.py `read_event_stream` (maxFilesPerTrigger micro-batches) + tests/test_streaming.py",
+    "ST1": "q46 rollup tier (batch=<id> partial writes, driver oracle-checked); streaming/ingest.py `read_event_stream` + tests/test_streaming.py",
     "ST2": "streaming/ingest.py trigger sizing + session AQE confs (session.py)",
-    "ST3": "streaming/ingest.py `replay_dir` chunk consolidation; `df.coalesce`",
+    "ST3": "q46 rollup tier `compact_rollup` (driver oracle-checked); streaming/ingest.py `replay_dir` consolidation",
     "ST4": "q45/q46/q47 event-time windows; streaming twin streaming/windows.py `windowed_counts`",
     "ST5": "streaming/windows.py `stream_pair_join` + tests/test_streaming.py::test_stream_pair_join_matches_batch",
-    "ST6": "sources/arrow_io.py `arrow_batches`; memory-sink streaming tests",
+    "ST6": "sources/arrow_io.py `arrow_batches` (Arrow-IPC data plane, 3x-floor throughput test); memory-sink streaming tests",
     "ST7": "streaming/windows.py watermarks + `dedup_within_watermark` + `running_totals_per_user` (applyInPandasWithState) + tests",
     "F2": "functions/arithmetic.py `table_op` (q27); operators/projection.py `apply_cols`",
     "F3": "Python closures over arbitrary objects in pandas UDFs / applyInPandas (streaming/windows.py state handler)",
@@ -95,14 +95,18 @@ def main() -> None:
         ("multimodal binary columns", "multimodal"),
         ("streaming/event-time", "streaming"),
         ("deterministic hash sampling / train-test splits", "sampling"),
+        ("int8 embedding quantization (coarse search + exact re-rank)", "quantization"),
+        ("text normalization (Catalyst cleanup + Arrow NFC)", "normalize"),
+        ("continuous rollup (partials / compaction / merge-on-read)", "rollup"),
+        ("k-means clustering + balanced sampling", "clustering"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
         out.append(f"| {label} | {', '.join(names)} |")
     out.append(
         "| dedup cluster formation (pairs → connected components → keeper) | "
-        "operators/graph.py `connected_components`/`dedup_clusters` + "
-        "tests/test_graph.py (union-find oracle; iterative, non-SQL — pytest tier) |"
+        "q36_simhash 'clusters' tier (driver oracle-checked vs a DuckDB "
+        "recursive-CTE closure); operators/graph.py + tests/test_graph.py |"
     )
 
     with open("COVERAGE.md", "w") as f:
