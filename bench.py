@@ -93,9 +93,14 @@ def _run_x10(spark, qs, sf: float) -> dict:
     errors: dict[str, str] = {}
     for name in _X10_QUERIES:
         try:
-            materialize(qs[name].fn(spark, _X10_DIR))  # warm (codegen/JIT)
-            best = None
+            # Two warm runs: at this volume the decimal/long agg loops only
+            # reach C2-compiled steady state on the 2nd-3rd execution
+            # (measured 30 s run-1 vs ~4 s steady for the old q01) — a
+            # single warm run left JIT churn inside the timed window.
             for _ in range(2):
+                materialize(qs[name].fn(spark, _X10_DIR))
+            best = None
+            for _ in range(3):
                 t0 = time.perf_counter()
                 materialize(qs[name].fn(spark, _X10_DIR))
                 dt = round(time.perf_counter() - t0, 3)

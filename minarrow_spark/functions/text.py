@@ -175,3 +175,33 @@ def normalize_text_nfc(df, text_col: str = "text", form: str = "NFC"):
             yield batch.set_column(idx, batch.schema.field(idx), normed)
 
     return df.mapInArrow(norm_batches, schema)
+
+
+# PII patterns — lookahead-free on purpose (Java regex on the Spark side,
+# RE2 in the DuckDB oracle; both support \b, \d, {m,n}, and alternation-free
+# classes identically). Kept simple by design: the point is the distributed
+# redaction shape (one codegen'd projection over the corpus), not a
+# production-grade PII model.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row PII match counts (email / phone / IPv4), each an independent
+    codegen'd regexp_count over the raw text."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)).cast("bigint"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE)).cast("bigint"),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4)).cast("bigint"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholders (<EMAIL>/<PHONE>/<IP>) —
+    email first so its dotted host can't half-match the IPv4 pass. Pure
+    Catalyst regexp_replace chain: streams through a scan at 100 TB with
+    no shuffle and no Python."""
+    t = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(t, PII_IPV4, "<IP>")

@@ -123,6 +123,94 @@ def cell_blocked_pairs(
     )
 
 
+def pq_cell_keys(
+    vec: Column, m: int = 8, sub_dim: int = 8, cell_bits: int = 2
+) -> Column:
+    """Product-quantization cell assignment: split a ``m × sub_dim``-dim
+    vector into ``m`` subspaces and key each subspace by the sign bits of
+    its first ``cell_bits`` dims (deterministic — the same trick as
+    `sign_cell`, so the whole PQ pipeline stays exactly oracle-checkable).
+    Returns an array<int> of length ``m`` (codes 0 .. 2^cell_bits − 1).
+
+    Pure codegen: m × cell_bits element_at comparisons, no shuffle, no
+    Python. At 100 TB the code column is the only thing the coarse search
+    reads: m bytes/vector instead of 4·dim — a 32× scan shrink at
+    m=8, dim=64."""
+    cells = []
+    for s in range(m):
+        bits = [
+            F.when(
+                F.element_at(vec, s * sub_dim + ds + 1) >= 0, F.lit(1 << ds)
+            ).otherwise(F.lit(0))
+            for ds in range(cell_bits)
+        ]
+        key = bits[0]
+        for b in bits[1:]:
+            key = key + b
+        cells.append(key.cast("int"))
+    return F.array(*cells)
+
+
+def pq_centroids(
+    df: DataFrame,
+    vec_col: str = "emb",
+    m: int = 8,
+    sub_dim: int = 8,
+    cell_bits: int = 2,
+) -> DataFrame:
+    """Train a PQ codebook: per (subspace, cell) elementwise centroid of the
+    member subvectors → rows (s, cell, ds, c), at most m · 2^cell_bits ·
+    sub_dim rows (tiny — broadcast it).
+
+    Determinism contract (cross-engine): elements cast to DECIMAL(12,8)
+    (identical rounding of identical doubles in Spark and DuckDB), summed
+    exactly (order-free), mean = round(sum_as_double / count, 6). Training
+    is one posexplode + one map-side-combined groupBy over (s, cell, ds) —
+    64·2^cell_bits groups regardless of corpus size, so at 100 TB the
+    partial aggregation does all the work and the final shuffle is a few
+    hundred rows."""
+    v = df.select(
+        F.col(vec_col).alias("_v"),
+        pq_cell_keys(F.col(vec_col), m, sub_dim, cell_bits).alias("_cells"),
+    )
+    dims = (
+        v.select("_cells", F.posexplode("_v").alias("d", "x"))
+        .select(
+            (F.col("d") / sub_dim).cast("int").alias("s"),
+            (F.col("d") % sub_dim).alias("ds"),
+            "x",
+            "_cells",
+        )
+        .withColumn("cell", F.element_at("_cells", F.col("s") + 1))
+        .drop("_cells")
+    )
+    return dims.groupBy("s", "cell", "ds").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(12,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    m: int = 8,
+    sub_dim: int = 8,
+    cell_bits: int = 2,
+) -> DataFrame:
+    """Long-form PQ codes (id, s, cell) — m rows per vector, the compact
+    representation the ADC scoring join consumes."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(pq_cell_keys(F.col(vec_col), m, sub_dim, cell_bits)).alias(
+            "s", "cell"
+        ),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -130,6 +130,47 @@ def _cell_col(col, lo: int, hi: int):
       SELECT cand.q_id, cand.vec_id,
              round(list_cosine_similarity(q.q_vec, cv.emb), 6) AS sim
       FROM cand JOIN q ON q.q_id = cand.q_id JOIN v cv ON cv.vec_id = cand.vec_id
+    ),
+    pqdims AS (
+      SELECT vec_id, CAST(i AS INT) // 8 AS s, CAST(i AS INT) % 8 AS ds,
+             emb[CAST(i AS INT) + 1] AS x
+      FROM v, range(0, 64) t(i)
+    ),
+    pqcells AS (
+      SELECT vec_id, s,
+             CAST(SUM(CASE WHEN ds < 2 AND x >= 0 THEN 1 << ds ELSE 0 END)
+                  AS INT) AS cell
+      FROM pqdims GROUP BY vec_id, s
+    ),
+    pqcent AS (
+      SELECT d.s, cb.cell, d.ds,
+             round(CAST(SUM(CAST(d.x AS DECIMAL(12,8))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM pqdims d JOIN pqcells cb ON cb.vec_id = d.vec_id AND cb.s = d.s
+      GROUP BY d.s, cb.cell, d.ds
+    ),
+    pqq AS (SELECT vec_id AS q_id, s, ds, x AS qx FROM pqdims WHERE vec_id < 5),
+    pqadc AS (
+      SELECT pqq.q_id, cb.vec_id,
+             SUM(CAST(pqq.qx * c.c AS DECIMAL(18,10))) AS adc
+      FROM pqcells cb
+      JOIN pqcent c ON c.s = cb.s AND c.cell = cb.cell
+      JOIN pqq ON pqq.s = c.s AND pqq.ds = c.ds
+      WHERE cb.vec_id <> pqq.q_id
+      GROUP BY pqq.q_id, cb.vec_id
+    ),
+    pqcand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id)
+                 AS r
+        FROM pqadc) WHERE r <= 10
+    ),
+    pqrescored AS (
+      SELECT pqcand.q_id, pqcand.vec_id,
+             round(list_cosine_similarity(q.q_vec, cv.emb), 6) AS sim
+      FROM pqcand JOIN q ON q.q_id = pqcand.q_id
+      JOIN v cv ON cv.vec_id = pqcand.vec_id
     )
     SELECT 'ivf' AS tier, q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
     FROM iranked WHERE rank <= 10
@@ -138,11 +179,16 @@ def _cell_col(col, lo: int, hi: int):
            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
                 AS BIGINT) AS rank
     FROM rescored
+    UNION ALL
+    SELECT 'pq' AS tier, q_id, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM pqrescored
     """,
     tags=("similarity", "ann", "ivf", "quantization"),
 )
 def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN suite: two scale paths for top-10 neighbors of 5 probes, both
+    """ANN suite: three scale paths for top-10 neighbors of 5 probes, all
     exactly oracle-checked despite being approximate methods (deterministic
     constructions — same trick as q39b's LSH).
 
@@ -160,7 +206,20 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       round-half-up on per-vector (min, scale) — bit-reproducible in
       DuckDB, so the candidate set and final ranks hash-match exactly.
 
-    Both tiers: probes broadcast; candidate sets are k×probes rows and
+    * tier 'pq' — product quantization with ADC (asymmetric distance
+      computation), the real 100 TB ANN method: vectors split into 8
+      subspaces of 8 dims; each subspace keyed to one of 4 cells by
+      deterministic sign bits (`pq_cell_keys`); codebook = per-(subspace,
+      cell) elementwise centroid (`pq_centroids`, ≤256 rows — broadcast);
+      ADC score = sum over subspaces of dot(q_sub, centroid[code]) as a
+      long/narrow dim-level join with per-product decimal casts (exact,
+      order-free — the q39b contract), so even the approximate scores
+      hash-match the oracle; top-10 by ADC re-ranked with exact cosine.
+      At 100 TB the coarse scan reads m = 8 small ints per vector (the
+      codes) instead of 64 floats — a 32× scan shrink — and scoring
+      touches only the broadcast codebook, never other vectors.
+
+    All tiers: probes broadcast; candidate sets are k×probes rows and
     broadcast into the exact re-rank attach; the vector table never
     shuffles."""
     from minarrow_spark.operators.similarity import (
@@ -215,7 +274,48 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .withColumn("tier", F.lit("int8"))
     )
-    return ivf.unionByName(int8).select("tier", "q_id", "vec_id", "sim", "rank")
+
+    from minarrow_spark.operators.similarity import pq_centroids, pq_codes
+
+    cent = pq_centroids(e, vec_col="emb")  # (s, cell, ds, c) — ≤256 rows
+    codes = pq_codes(e, id_col="vec_id", vec_col="emb")  # (vec_id, s, cell)
+    qdims = (
+        probes.select("q_id", F.posexplode("q_vec").alias("d", "qx"))
+        .select(
+            "q_id",
+            (F.col("d") / 8).cast("int").alias("s"),
+            (F.col("d") % 8).alias("ds"),
+            "qx",
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(cent), ["s", "cell"])
+        .join(F.broadcast(qdims), ["s", "ds"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum((F.col("qx") * F.col("c")).cast("decimal(18,10)")).alias("adc"))
+    )
+    pw = W.partitionBy("q_id").orderBy(F.col("adc").desc(), "vec_id")
+    pqcand = (
+        adc.withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") <= 10)
+        .select("q_id", "vec_id")
+    )
+    pq = (
+        F.broadcast(pqcand)
+        .join(e, "vec_id")
+        .join(F.broadcast(probes), "q_id")
+        .select(
+            "q_id", "vec_id", cosine_sim(F.col("q_vec"), F.col("emb")).alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("tier", F.lit("pq"))
+    )
+    return (
+        ivf.unionByName(int8)
+        .unionByName(pq)
+        .select("tier", "q_id", "vec_id", "sim", "rank")
+    )
 
 
 @query(

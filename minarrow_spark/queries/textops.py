@@ -176,6 +176,38 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / ngr.n_gr, 6)
                   ELSE 0.0 END AS bp_frac
       FROM ngr LEFT JOIN grshared USING (doc_id)
+    ),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w), 1)),
+                    i -> w[i] || ' ' || w[i+1])) AS g
+      FROM words
+    ),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, MAX(c) AS m2 FROM g2c GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      FROM words
+    ),
+    g3c AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    dup3 AS (
+      SELECT doc_id,
+             round(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(c) AS DOUBLE), 6) AS dup3_frac
+      FROM g3c GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT q.doc_id,
+             CASE WHEN q.n_tok >= 2 THEN round(2.0 * top2.m2 / q.n_tok, 6)
+                  ELSE 0.0 END AS top2_share,
+             COALESCE(dup3.dup3_frac, 0.0) AS dup3_frac
+      FROM q LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -190,8 +222,17 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(COALESCE(bp_frac, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
              AS total_bp_frac,
            CAST(SUM(CASE WHEN COALESCE(bp_frac, 0.0) >= 0.5 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_boilerplate
+                AS BIGINT) AS n_boilerplate,
+           CAST(SUM(CAST(COALESCE(top2_share, 0.0) AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_top2_share,
+           CAST(SUM(CASE WHEN COALESCE(top2_share, 0.0) >= 0.2 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_top2_heavy,
+           CAST(SUM(CAST(COALESCE(dup3_frac, 0.0) AS DECIMAL(18,6)))
+                AS DOUBLE) AS total_dup3_frac,
+           CAST(SUM(CASE WHEN COALESCE(dup3_frac, 0.0) >= 0.02 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_dup3_heavy
     FROM s LEFT JOIN docn USING (doc_id) LEFT JOIN bp USING (doc_id)
+         LEFT JOIN rep USING (doc_id)
     GROUP BY source
     """,
     tags=("text", "quality"),
@@ -222,7 +263,16 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable; beyond that, bucket both sides on the token). The gram
     doc-frequency table is corpus-sized at 100 TB — that tier buckets both
     sides on the gram hash instead of broadcasting (the q35/q41 shape). The
-    doc re-joins shuffle on doc_id; everything else is map-side combined."""
+    doc re-joins shuffle on doc_id; everything else is map-side combined.
+
+    Plus the Gopher-style intra-document repetition filters (Rae et al.
+    2021, table A1 — token approximations of the char-fraction originals):
+    top-2-gram share (2·count of the most frequent word 2-gram / n_tokens;
+    ≥0.2 flagged) and duplicate-3-gram fraction (share of 3-gram
+    occurrences whose gram repeats within the doc; ≥0.02 flagged — this
+    corpus is near-repetition-free, so the Gopher 0.6 bar would never fire). Per-doc
+    values round to 6 digits then sum as exact decimals per source — the
+    same per-value-rounding contract as the surprisal tier."""
     from minarrow_spark.functions.text import shingles
 
     d = par(T(spark, sf_dir, "documents"))
@@ -237,7 +287,10 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         score.alias("score"),
         ttr.alias("ttr"),
+        n_tok.alias("n_tokd"),
         F.split(F.lower(F.trim("text")), r"\s+").alias("lw"),
+        shingles(F.col("text"), 2).alias("sh2"),
+        shingles(F.col("text"), 3).alias("sh3"),
         shingles(F.col("text"), 4).alias("sh4"),
         F.trim("text").alias("_t"),
     ).withColumn(
@@ -272,6 +325,31 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("occ").cast("bigint").alias("n_shared"))
     )
     bp = grshared
+    # Gopher-style intra-document repetition signals (token approximation of
+    # the char-fraction originals): top-2-gram share (2·max 2-gram count /
+    # n_tokens) and duplicate-3-gram fraction (occurrences of 3-grams seen
+    # ≥2× in the doc / all 3-gram occurrences). Both gram sizes ride ONE
+    # explode (tagged with the gram size k) → one map-side-combined
+    # (doc_id, k, gram) agg → one per-doc conditional rollup — two shuffles
+    # and one join-back for the whole tier instead of four + two. No
+    # cross-document state, embarrassingly parallel at 100 TB.
+    g2r = base.filter(F.col("_t") != "").select(
+        "doc_id", F.lit(2).alias("k"), F.explode("sh2").alias("g")
+    )
+    g3r = base.filter(F.col("_t") != "").select(
+        "doc_id", F.lit(3).alias("k"), F.explode("sh3").alias("g")
+    )
+    kgc = (
+        g2r.unionByName(g3r)
+        .groupBy("doc_id", "k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    repd = kgc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("m2"),
+        F.sum(F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c")).otherwise(0))
+        .alias("d3n"),
+        F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(0)).alias("d3d"),
+    )
     cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"))
     term = ex.join(F.broadcast(cnt.crossJoin(tot)), "w").select(
@@ -290,9 +368,17 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_gr"), 6
         ),
     ).otherwise(F.lit(0.0))
+    t2s = F.when(
+        F.col("n_tokd") >= 2, F.round(2.0 * F.col("m2") / F.col("n_tokd"), 6)
+    ).otherwise(F.lit(0.0))
+    d3f = F.when(
+        F.coalesce(F.col("d3d"), F.lit(0)) > 0,
+        F.round(F.col("d3n").cast("double") / F.col("d3d").cast("double"), 6),
+    ).otherwise(F.lit(0.0))
     return (
         base.join(docn, "doc_id", "left")
         .join(bp, "doc_id", "left")
+        .join(repd, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -312,6 +398,18 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bpf >= 0.5, 1).otherwise(0))
             .cast("bigint")
             .alias("n_boilerplate"),
+            F.sum(t2s.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_top2_share"),
+            F.sum(F.when(t2s >= 0.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top2_heavy"),
+            F.sum(d3f.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_dup3_frac"),
+            F.sum(F.when(d3f >= 0.02, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup3_heavy"),
         )
     )
 
@@ -322,6 +420,7 @@ _Q33_QUOTA = 200  # per-source quota (balanced-mixture sampling)
 
 
 def _q33_oracle() -> str:
+    from minarrow_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
     from minarrow_spark.operators.sampling import hex_threshold
 
     t_s = hex_threshold(_Q33_SAMPLE_FRAC)
@@ -382,20 +481,60 @@ def _q33_oracle() -> str:
                             MAX(CASE WHEN r = 3 THEN term END)) AS top_terms,
              MAX(CASE WHEN r = 1 THEN tfidf END) AS top_tfidf
       FROM topt WHERE r <= 3 GROUP BY source
+    ),
+    piidocs AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 415-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 97 AS VARCHAR)
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    piic AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_em,
+             len(regexp_extract_all(t, '{PII_PHONE}')) AS n_ph,
+             len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g')) AS rfp
+      FROM piidocs
+    ),
+    pii AS (
+      SELECT source,
+             CAST(SUM(n_em) AS BIGINT) AS n_emails,
+             CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+             CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+             CAST(SUM(CASE WHEN n_em + n_ph + n_ip > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pii_docs,
+             MIN(rfp) AS pii_min_fp
+      FROM piic GROUP BY source
     )
-    SELECT acc.*, tops.top_terms, tops.top_tfidf
-    FROM acc JOIN tops USING (source)
+    SELECT acc.*, tops.top_terms, tops.top_tfidf,
+           pii.n_emails, pii.n_phones, pii.n_ips, pii.n_pii_docs,
+           pii.pii_min_fp
+    FROM acc JOIN tops USING (source) JOIN pii USING (source)
     """
 
 
 @query(
     "q33_fingerprint",
     oracle=_q33_oracle(),
-    tags=("text", "fingerprint", "tfidf", "sampling"),
+    tags=("text", "fingerprint", "tfidf", "sampling", "pii"),
 )
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus accounting suite: fingerprint uniqueness +
-    deterministic sampling + TF-IDF characteristic terms.
+    deterministic sampling + TF-IDF characteristic terms + PII scrub
+    accounting.
 
     * Normalized-text md5 fingerprinting (the scalable pre-pass for exact
       dedup): doc counts, distinct fingerprints, min fingerprint.
@@ -410,6 +549,10 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     * TF-IDF: tf over (source, term), doc-level df, idf = ln(N/df) rounded
       per-value to 6 digits (the q32 transcendental-determinism pattern),
       top-3 terms per source with (tfidf desc, term) tie-break.
+    * PII scrub: emails/phones/IPv4 detected and redacted to typed
+      placeholders over a deterministically-injected corpus (known
+      positives on doc_id mod 7/11/13); per-source match counts plus the
+      min-md5 of the redacted text (byte-identical-redaction proof).
 
     One documents scan feeds the accounting branch; the token explode feeds
     tf and df aggs with map-side combine; per-source results join broadcast.
@@ -471,7 +614,68 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_terms"),
         F.max(F.when(F.col("r") == 1, F.col("tfidf"))).alias("top_tfidf"),
     )
-    return acc.join(F.broadcast(tops), "source")
+
+    # PII tier: deterministic synthetic PII injected (emails on doc_id%7,
+    # phones on %11, IPv4 on %13 — the known-positive population the scrub
+    # must catch), then detect + redact via the shared regex contract
+    # (functions/text.py PII_*). Counts sum per source; min-md5 of the
+    # redacted text proves the redaction itself is byte-identical
+    # cross-engine, not just the counts. One codegen'd projection, one
+    # map-side-combined agg — no shuffle beyond the per-source rollup.
+    from minarrow_spark.functions.text import pii_counts, redact_pii
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 97).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    cts = pii_counts(F.col("t"))
+    pii = (
+        d.select("source", injected.alias("t"))
+        .select(
+            "source",
+            cts["n_emails"].alias("n_em"),
+            cts["n_phones"].alias("n_ph"),
+            cts["n_ips"].alias("n_ip"),
+            F.md5(redact_pii(F.col("t"))).alias("rfp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_em").cast("bigint").alias("n_emails"),
+            F.sum("n_ph").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum(
+                F.when(F.col("n_em") + F.col("n_ph") + F.col("n_ip") > 0, 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_pii_docs"),
+            F.min("rfp").alias("pii_min_fp"),
+        )
+    )
+    return acc.join(F.broadcast(tops), "source").join(F.broadcast(pii), "source")
 
 
 @query(

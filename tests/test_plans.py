@@ -25,7 +25,9 @@ def test_q01_pushdown_and_pruning(spark, sf_dir):
     assert any("l_shipdate" in p for p in s.pushed_filters), s.pushed_filters
     # 7 of 11 lineitem columns read — projection reached the scan
     assert all("l_partkey" not in sch for sch in s.read_schemas), s.read_schemas
-    assert s.shuffles == 1
+    # 2 = salted partial (6×1024 rows) + final merge — the scaled-long
+    # overflow guard; the raw-row shuffle count is unchanged at 1.
+    assert s.shuffles == 2
     assert s.wholestage_codegen_spans >= 1
 
 
@@ -84,7 +86,7 @@ def test_q35_candidates_broadcast(spark, sf_dir):
 @pytest.mark.parametrize(
     "name,max_shuffles",
     [
-        ("q01_pricing_summary", 1),
+        ("q01_pricing_summary", 2),  # salted partial + final (long overflow guard)
         ("q10_window_topk", 1),
         ("q45_tumbling_window", 1),
         ("q03_top_orders", 1),  # TakeOrderedAndProject, no global sort
@@ -99,9 +101,10 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         ("q42_sequence_packing", 1),
         ("q47_sessionization", 2),
         # Round-3 suite growth: budgets pinned at measured shape + 1 slack.
-        # q32: quality + surprisal + boilerplate tiers (the gram window
-        # must reuse the (doc,gram) agg partitioning, not re-shuffle).
-        ("q32_quality_score", 10),
+        # q32: quality + surprisal + boilerplate + repetition tiers (the
+        # gram doc-frequency must stay a map-side-combined agg; the
+        # repetition tier's two gram sizes must share one tagged explode).
+        ("q32_quality_score", 12),
         # q33: accounting + quota window + tf/df aggs + top-terms window.
         ("q33_fingerprint", 7),
         # q41: benchmark-bounded severity adds only dfg + doc rollup.
@@ -116,9 +119,10 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # q36: hash tier agg; the clusters tier's iterative work is cut by
         # GC-scoped checkpoints, so the final plan must stay flat.
         ("q36_simhash", 3),
-        # q38b: ivf window + int8 coarse window + re-rank window; probes,
-        # candidates, and the re-rank attaches all broadcast.
-        ("q38b_ivf_topk", 4),
+        # q38b: ivf window + int8 coarse window + pq codebook/ADC aggs +
+        # re-rank windows; probes, codebook, candidates, and the re-rank
+        # attaches all broadcast (measured 7).
+        ("q38b_ivf_topk", 7),
         # q46: hop agg + rollup merge-on-read agg — never raw-event joins.
         ("q46_hopping_window", 3),
         # q52: cov single-row reduce + kmeans final-assign stats agg
