@@ -712,9 +712,11 @@ def q28_bool_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q29_oracle() -> str:
     from minarrow_spark.operators.sampling import hex_threshold
+    from minarrow_spark.operators.zorder import z_value_sql
 
     h = "substr(md5('s|' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
     hs = "substr(md5('split|' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    zed = z_value_sql("(o_custkey % 256)", "(o_orderkey % 256)")
     return f"""
     SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -727,7 +729,10 @@ def _q29_oracle() -> str:
                           AND {hs} < '{hex_threshold(0.3)}' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_val,
            CAST(SUM(CASE WHEN {hs} >= '{hex_threshold(0.3)}' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_train
+                AS BIGINT) AS n_train,
+           CAST(MIN({zed}) AS BIGINT) AS z_min,
+           CAST(MAX({zed}) AS BIGINT) AS z_max,
+           CAST(SUM({zed}) AS BIGINT) AS z_sum
     FROM orders GROUP BY 1
     """
 
@@ -756,9 +761,18 @@ def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges partials per bucket. Every measure is algebraic (counts and sums
     merge as sums), so the result is salt-independent — the plain GROUP BY
     oracle verifies the skew path end-to-end, upgrading the operator from
-    unit-tested to driver-checked."""
+    unit-tested to driver-checked.
+
+    Plus the Z-order layout key (operators/zorder.py): the Morton
+    bit-interleave of (custkey, orderkey) folded to an 8-bit grid —
+    min/max/sum per bucket hash-check the interleave arithmetic against
+    the identical SQL expression (`z_value_sql`); the physical clustering
+    win (range-partition by z → tight per-file 2-D bounding boxes →
+    min/max file skipping on both dims) is asserted by the locality test
+    in tests/test_scale_ops.py."""
     from minarrow_spark.operators.sampling import sample_mask, train_test_split
     from minarrow_spark.operators.skew import salted_agg
+    from minarrow_spark.operators.zorder import z_value
 
     o = train_test_split(
         T(spark, sf_dir, "orders"), key="o_orderkey", test=0.2, val=0.1
@@ -767,6 +781,13 @@ def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     msum = lambda c, name: F.sum(c).cast("bigint").alias(name)
     b = o.withColumn(
         "bucket", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    ).withColumn(
+        # Morton layout key (operators/zorder.py): min/max/sum per bucket
+        # verify the bit-interleave arithmetic cross-engine; the physical
+        # clustering itself (range-partition by z → per-file 2-D bounding
+        # boxes) is pinned by tests/test_scale_ops.py locality assertions.
+        "z",
+        z_value(F.col("o_custkey") % 256, F.col("o_orderkey") % 256),
     )
     return salted_agg(
         b,
@@ -778,6 +799,9 @@ def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             pop(F.col("split") == "test", "tst"),
             pop(F.col("split") == "val", "val"),
             pop(F.col("split") == "train", "trn"),
+            F.min("z").alias("zmn"),
+            F.max("z").alias("zmx"),
+            F.sum("z").alias("zsm"),
         ],
         merge_aggs=[
             msum("c", "n"),
@@ -786,6 +810,9 @@ def q29_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum("tst", "n_test"),
             msum("val", "n_val"),
             msum("trn", "n_train"),
+            F.min("zmn").cast("bigint").alias("z_min"),
+            F.max("zmx").cast("bigint").alias("z_max"),
+            msum("zsm", "z_sum"),
         ],
     )
 

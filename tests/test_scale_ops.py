@@ -436,3 +436,50 @@ def test_redact_pii_roundtrip(spark):
         assert (r.em2, r.ph2, r.ip2) == (r.em, r.ph, r.ip), r
         assert "@" not in r.red
         assert "555-0123" not in r.red and "10.0.3.77" not in r.red
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout
+# --------------------------------------------------------------------------
+
+
+def test_z_value_matches_reference(spark):
+    from minarrow_spark.operators.zorder import z_py, z_value
+
+    rows = [(x, y) for x in (0, 1, 5, 37, 255) for y in (0, 2, 9, 128, 255)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r.z == z_py(r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_zorder_layout_locality(spark, sf_dir):
+    """Range-partitioning by the Morton code must give partitions tight
+    bounding boxes in BOTH folded dimensions — the property that turns
+    into parquet min/max file skipping for 2-D range predicates. A naive
+    layout's per-partition boxes cover ~the full 0..255 range on at least
+    one axis; z-ordered partitions must average well under that."""
+    import statistics
+
+    from minarrow_spark.operators.zorder import zorder_layout
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    laid = zorder_layout(
+        o, "o_custkey", "o_orderkey", n_partitions=16, x_mod=256, y_mod=256
+    )
+    parts = (
+        laid.select(
+            F.spark_partition_id().alias("p"),
+            (F.col("o_custkey") % 256).alias("x"),
+            (F.col("o_orderkey") % 256).alias("y"),
+        )
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    assert len(parts) >= 8  # the range exchange actually spread the data
+    avg_side = statistics.mean((r.xr + r.yr) / 2 for r in parts)
+    assert avg_side <= 180, [(r.p, r.xr, r.yr) for r in parts]
