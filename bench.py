@@ -35,13 +35,17 @@ from minarrow_spark.session import get_spark
 _X10_DIR = "/root/repo/.scratch/bench_x10"
 _X10_SHIFT = 100_000_000  # divisible by every modulus the queries use (8,10,20,25)
 _X10_COPIES = 10
-# spanning subset: scan-agg, multi-join, LSH dedup, event window, ANN scan
+# spanning subset: scan-agg, multi-join, LSH dedup, event window, ANN scan,
+# rank window, cumulative packing, stateful sessionization
 _X10_QUERIES = (
     "q01_pricing_summary",
     "q04_segment_revenue",
     "q35_dedup_minhash",
     "q45_tumbling_window",
     "q38_ann_topk",
+    "q10_window_topk",
+    "q42_sequence_packing",
+    "q47_sessionization",
 )
 
 

@@ -99,3 +99,32 @@ def train_test_split(
         .when(h < F.lit(hex_threshold(test + val)), F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: Column | str,
+    epoch: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: a reproducible global random
+    order, re-derived per epoch — the distributed analog of shuffling the
+    dataset between training epochs.
+
+    Order key = md5(epoch | key): uniformly random but a pure function of
+    (epoch, key), so the order is identical on any rerun, any partition
+    count, any engine — and changes completely between epochs. The layout
+    is one range exchange on the hash + a within-partition sort (exactly a
+    global sort's cost); downstream sequential readers (sequence packing,
+    batch writers) consume partitions in order. No per-row RNG, no driver
+    state, no collect.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"e{epoch}|"), k.cast("string")))
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("__eo", h)
+        .repartitionByRange(parts, "__eo")
+        .sortWithinPartitions("__eo")
+        .drop("__eo")
+    )

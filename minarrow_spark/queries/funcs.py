@@ -9,7 +9,7 @@ These queries pin the *semantics* the reference implements in its kernels —
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from minarrow_spark.functions.arithmetic import (
@@ -30,6 +30,7 @@ from minarrow_spark.functions.datetimes import (
     iso_week,
 )
 from minarrow_spark.functions.strings import byte_length, char_length, count_match, find0
+from minarrow_spark.operators.sketch import cms_bucket_sql
 from minarrow_spark.queries._util import T
 from minarrow_spark.registry import query
 
@@ -231,27 +232,71 @@ def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q24_agg_stats",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
-           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                     * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-           / (COUNT(*) - 1.0) AS var_qty,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_null_qty,
-           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
-           TRUE AS approx_parts_ok,
-           TRUE AS approx_orders_ok,
-           TRUE AS approx_p90_ok
-    FROM lineitem
-    GROUP BY l_returnflag
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1.0) AS var_qty,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_qty,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             TRUE AS approx_parts_ok,
+             TRUE AS approx_orders_ok,
+             TRUE AS approx_p90_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+    ),
+    pkc AS (
+      SELECT l_returnflag, l_partkey, COUNT(*) AS pc
+      FROM lineitem GROUP BY l_returnflag, l_partkey
+    ),
+    top1 AS (
+      SELECT l_returnflag, l_partkey AS top_part, CAST(pc AS BIGINT) AS top_part_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                         ORDER BY pc DESC, l_partkey) AS r
+            FROM pkc) WHERE r = 1
+    ),
+    cmsrows AS (
+      SELECT l_returnflag, t.j,
+             CASE t.j
+               WHEN 0 THEN {cms_bucket_sql('l_partkey', 0)}
+               WHEN 1 THEN {cms_bucket_sql('l_partkey', 1)}
+               WHEN 2 THEN {cms_bucket_sql('l_partkey', 2)}
+               ELSE {cms_bucket_sql('l_partkey', 3)}
+             END AS bucket
+      FROM lineitem, range(0, 4) t(j)
+    ),
+    sketch AS (
+      SELECT l_returnflag, j, bucket, COUNT(*) AS c
+      FROM cmsrows GROUP BY l_returnflag, j, bucket
+    ),
+    probes AS (
+      SELECT l_returnflag, top_part, t.j,
+             CASE t.j
+               WHEN 0 THEN {cms_bucket_sql('top_part', 0)}
+               WHEN 1 THEN {cms_bucket_sql('top_part', 1)}
+               WHEN 2 THEN {cms_bucket_sql('top_part', 2)}
+               ELSE {cms_bucket_sql('top_part', 3)}
+             END AS bucket
+      FROM top1, range(0, 4) t(j)
+    ),
+    est AS (
+      SELECT p.l_returnflag, CAST(MIN(s.c) AS BIGINT) AS top_part_cms
+      FROM probes p JOIN sketch s
+        ON s.l_returnflag = p.l_returnflag AND s.j = p.j AND s.bucket = p.bucket
+      GROUP BY p.l_returnflag
+    )
+    SELECT stats.*, top1.top_part, top1.top_part_n, est.top_part_cms
+    FROM stats JOIN top1 USING (l_returnflag) JOIN est USING (l_returnflag)
     """,
     tags=("A3", "A4", "A7", "A9", "A10"),
 )
@@ -276,7 +321,15 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns in one aggregate force Catalyst's Expand (every input row
     replicated per distinct group, and the HLL buffers ride the expanded
     rows too): measured 10.5s vs 0.8s at sf0.1. The HLL sketches stay in
-    the main agg — they're ordinary partial-aggregating expressions."""
+    the main agg — they're ordinary partial-aggregating expressions.
+
+    Plus the count-min sketch tier (operators/sketch.py): per-group 4×256
+    frequency sketches — the fixed-size mergeable summary that answers
+    heavy-hitter queries at 100 TB without a key-cardinality shuffle —
+    probed for each group's most frequent partkey. md5-bucket hashes make
+    the sketch bit-deterministic, so the approximate estimate itself
+    hash-checks against DuckDB (top_part_cms ≥ top_part_n by CMS's
+    overestimate-only guarantee)."""
     l = T(spark, sf_dir, "lineitem")
     q = dec("l_quantity")
     s1 = F.sum(q).cast("double")
@@ -312,9 +365,45 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             tol * exact.cast("double")
         )
 
+    # Count-min sketch tier (operators/sketch.py): per-returnflag 4×256
+    # sketches built in one map-side-combined agg (the shuffle moves
+    # ≤ 3·4·256 rows no matter the corpus size), probed for each group's
+    # most frequent partkey. The md5-bucket hashes make the approximate
+    # estimate bit-deterministic, so it hash-checks against the oracle —
+    # the same exactly-checkable-approximation trick as the IVF/LSH/PQ
+    # tiers. est ≥ exact always (CMS overestimates only).
+    from minarrow_spark.operators.sketch import cms_build, cms_estimate
+
+    pkc = l.groupBy("l_returnflag", "l_partkey").agg(F.count(F.lit(1)).alias("pc"))
+    tw = W.partitionBy("l_returnflag").orderBy(F.col("pc").desc(), "l_partkey")
+    top1 = (
+        pkc.withColumn("r", F.row_number().over(tw))
+        .filter(F.col("r") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_partkey").alias("top_part"),
+            F.col("pc").cast("bigint").alias("top_part_n"),
+        )
+    )
+    sketch = cms_build(
+        l.select("l_returnflag", "l_partkey"), "l_partkey", ["l_returnflag"]
+    )
+    est = cms_estimate(
+        sketch,
+        top1.select("l_returnflag", F.col("top_part").alias("l_partkey")),
+        "l_partkey",
+        ["l_returnflag"],
+    ).select(
+        "l_returnflag",
+        F.col("l_partkey").alias("top_part"),
+        F.col("cms_est").alias("top_part_cms"),
+    )
+
     joined = (
         main.join(exact_distinct("l_partkey", "n_parts"), "l_returnflag")
         .join(exact_distinct("l_orderkey", "_n_orders"), "l_returnflag")
+        .join(F.broadcast(top1), "l_returnflag")
+        .join(F.broadcast(est), ["l_returnflag", "top_part"])
     )
     return joined.select(
         "l_returnflag",
@@ -334,6 +423,9 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_p90a").cast("double") - F.col("p90_qty")) <= 1.0).alias(
             "approx_p90_ok"
         ),
+        "top_part",
+        "top_part_n",
+        "top_part_cms",
     )
 
 

@@ -3,7 +3,9 @@
 The reference has no SQL windows (its "window" is a physical view window,
 `ArrayV` offset+len) — these are capability-implied. Every window spec here
 carries a unique ordering key so ranks and frames are deterministic under
-distributed execution; running/framed sums go through exact decimals.
+distributed execution; running/framed sums run as scaled longs (exact and
+order-free like decimals, but without per-row BigDecimal churn inside the
+window frame — see q10's inline note for the measured 10× gap).
 
 Scale note: Window.partitionBy shuffles once on the partition key and sorts
 within partitions — the canonical scalable plan. Nothing uses a global
@@ -15,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from minarrow_spark.functions.arithmetic import dec
 from minarrow_spark.functions.datetimes import epoch_micros
 from minarrow_spark.queries._util import T
 from minarrow_spark.registry import query
@@ -65,7 +66,17 @@ def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.row_number().over(w).alias("rn"),
             F.rank().over(wr).alias("status_rank"),
-            F.sum(dec("o_totalprice")).over(wc).cast("double").alias("running_spend"),
+            # Scaled-long running sum (cents), NOT a decimal window agg: the
+            # per-row BigDecimal churn of a decimal cumulative frame over
+            # 15M rows measured 1.8-27s erratic (GC storms) at the 10×
+            # bench point vs 0.7s stable for the long form. Σcents per
+            # customer stays far under long range at any real scale, and
+            # long/100.0 is the correctly-rounded double of the same exact
+            # value the oracle's decimal sum produces.
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wc)
+                / 100.0
+            ).alias("running_spend"),
             F.row_number().over(ws).cast("bigint").alias("order_seq"),
         )
         .filter(F.col("rn") <= 3)
@@ -129,7 +140,9 @@ def q12_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(dec("l_quantity")).over(w).cast("double").alias("moving_qty"),
+        # scaled-long frame sum — same rationale as q10's running_spend
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("long")).over(w) / 100.0)
+        .alias("moving_qty"),
         F.count(F.lit(1)).over(w).alias("frame_n"),
     )
 

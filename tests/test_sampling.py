@@ -78,3 +78,22 @@ def test_train_test_split_disjoint_exhaustive(spark, sf_dir):
     # deterministic: rerun assigns identical splits
     s2 = train_test_split(c, "c_custkey", test=0.2, val=0.1)
     assert s.exceptAll(s2).count() == 0
+
+
+def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark, sf_dir):
+    """Same epoch → identical global order on reruns and partitionings;
+    different epoch → different order; always the same multiset of rows."""
+    from minarrow_spark.operators.sampling import epoch_shuffle
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").limit(2000)
+
+    def order(df, epoch, parts):
+        laid = epoch_shuffle(df, "o_orderkey", epoch, n_partitions=parts)
+        return [r.o_orderkey for r in laid.toLocalIterator()]
+
+    e1a = order(o, 1, 4)
+    e1b = order(o.repartition(13), 1, 8)
+    e2 = order(o, 2, 4)
+    assert e1a == e1b                      # partition-layout independent
+    assert e1a != e2                       # epochs reshuffle
+    assert sorted(e1a) == sorted(e2)       # same rows, only order moves

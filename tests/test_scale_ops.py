@@ -483,3 +483,29 @@ def test_zorder_layout_locality(spark, sf_dir):
     assert len(parts) >= 8  # the range exchange actually spread the data
     avg_side = statistics.mean((r.xr + r.yr) / 2 for r in parts)
     assert avg_side <= 180, [(r.p, r.xr, r.yr) for r in parts]
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+# --------------------------------------------------------------------------
+
+
+def test_cms_overestimates_and_is_partition_invariant(spark, sf_dir):
+    from minarrow_spark.operators.sketch import cms_build, cms_estimate
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    sk1 = cms_build(l, "l_partkey")
+    sk2 = cms_build(l.repartition(11), "l_partkey")
+    assert _canon(sk1) == _canon(sk2)      # mergeable partials → same sketch
+    assert sk1.count() <= 4 * 256          # fixed size at any corpus size
+
+    exact = l.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey")
+    top = exact.limit(10).select("l_partkey", F.col("count").alias("n_exact"))
+    est = cms_estimate(sk1, top.select("l_partkey"), "l_partkey")
+    rows = top.join(est, "l_partkey").collect()
+    assert len(rows) == 10
+    n_total = l.count()
+    for r in rows:
+        assert r.cms_est >= r.n_exact, r            # CMS never underestimates
+        # ε = e/w bound with generous slack (deterministic hashes, fixed data)
+        assert r.cms_est <= r.n_exact + 0.05 * n_total, r
