@@ -63,7 +63,8 @@ def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'hop' AS tier, window_start, '' AS event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           TRUE AS approx_users_ok
     FROM assigned
     WHERE ep >= window_start * 1000000
       AND ep < (window_start + 1800) * 1000000
@@ -74,7 +75,8 @@ def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0))
-                / 100 AS DOUBLE) AS total_value
+                / 100 AS DOUBLE) AS total_value,
+           TRUE AS approx_users_ok
     FROM events
     GROUP BY 2, 3
     """,
@@ -122,6 +124,7 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("").alias("event_type"),
             "n",
             "total_value",
+            F.lit(True).alias("approx_users_ok"),
         )
     )
 
@@ -132,12 +135,35 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         write_batch(e.filter(F.col("event_id") % 3 == b), b)
     compact_rollup(spark, raw_dir, comp_dir)
-    roll = rollup_view(spark, comp_dir).select(
-        F.lit("rollup").alias("tier"),
-        F.col("window_start").cast("bigint").alias("window_start"),
-        "event_type",
-        "n",
-        "total_value",
+    # Sketch-serving check: the rollup's mergeable HLL distinct-users
+    # estimate (built per batch, unioned through compaction) must land
+    # within 5% of the exact per-window distinct — deterministic for fixed
+    # input, so the boolean is a hash-checked error bound (the q24
+    # approx_*_ok pattern), proving sketch partials survive the batch
+    # split + compaction + merge-on-read path losslessly.
+    exact_users = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+    roll = (
+        rollup_view(spark, comp_dir)
+        .join(F.broadcast(exact_users), ["window_start", "event_type"])
+        .select(
+            F.lit("rollup").alias("tier"),
+            F.col("window_start").cast("bigint").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("n_users"))
+            ).alias("approx_users_ok"),
+        )
     )
     return hop.unionByName(roll)
 

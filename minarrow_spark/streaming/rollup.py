@@ -30,19 +30,28 @@ from pyspark.sql import functions as F
 
 
 def _partial_agg(batch: DataFrame, window: str) -> DataFrame:
-    """Per-batch partial rollup: decomposable measures only (count + exact
-    scaled-long sum), keyed by (window_start, event_type)."""
+    """Per-batch partial rollup: decomposable measures (count + exact
+    scaled-long sum) PLUS a mergeable Datasketches HLL sketch of user_id,
+    keyed by (window_start, event_type).
+
+    The sketch is what lets the rollup answer "distinct users per window" —
+    a measure plain sums cannot decompose (distinct is not algebraic).
+    HLL register states merge by element-wise max, so sketches built from
+    ANY batch split union to the identical state the one-shot aggregate
+    produces — deterministic, order-free, and a few KB per row at rest."""
     return (
         batch.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.hll_sketch_agg("user_id").alias("users_hll"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
             "event_type",
             "n",
             "value_cents",
+            "users_hll",
         )
     )
 
@@ -89,6 +98,9 @@ def rollup_view(spark: SparkSession, rollup_dir: str) -> DataFrame:
             (F.sum("value_cents").cast("decimal(38,0)") / 100)
             .cast("double")
             .alias("total_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll"))
+            .cast("bigint")
+            .alias("approx_users"),
         )
     )
 
@@ -104,6 +116,9 @@ def rollup_batch_twin(events: DataFrame, window: str = "1 hour") -> DataFrame:
             (F.sum("value_cents").cast("decimal(38,0)") / 100)
             .cast("double")
             .alias("total_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll"))
+            .cast("bigint")
+            .alias("approx_users"),
         )
     )
 
@@ -125,6 +140,8 @@ def compact_rollup(
         .agg(
             F.sum("n").cast("bigint").alias("n"),
             F.sum("value_cents").cast("bigint").alias("value_cents"),
+            # sketches compact like any other partial: register-max union
+            F.hll_union_agg("users_hll").alias("users_hll"),
         )
     )
     compacted.write.mode("overwrite").parquet(out_dir)

@@ -123,8 +123,9 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # re-rank windows; probes, codebook, candidates, and the re-rank
         # attaches all broadcast (measured 7).
         ("q38b_ivf_topk", 7),
-        # q46: hop agg + rollup merge-on-read agg — never raw-event joins.
-        ("q46_hopping_window", 3),
+        # q46: hop agg + rollup merge-on-read agg + the exact-distinct
+        # reference agg for the HLL sketch bound — never raw-event joins.
+        ("q46_hopping_window", 4),
         # q52: cov single-row reduce + kmeans final-assign stats agg
         # (assignment itself is the zero-shuffle literal-centroid form).
         ("q52_cov_matrix", 4),

@@ -338,3 +338,26 @@ def test_hopping_counts_matches_batch(spark, sf_dir, replay):
         assert _canon(streamed) == _canon(batch)
     finally:
         q.stop()
+
+
+def test_rollup_hll_distinct_users_accuracy(spark, sf_dir):
+    """The rollup's mergeable HLL sketch answers distinct-users-per-window —
+    the measure plain sums can't decompose. Estimate must land within the
+    Datasketches HLL error envelope (generous 5%) of the exact distinct."""
+    from minarrow_spark.streaming import rollup_batch_twin
+
+    e = load_table(spark, sf_dir, "events")
+    roll = rollup_batch_twin(e).select("window_start", "event_type", "approx_users")
+    exact = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+    rows = roll.join(exact, ["window_start", "event_type"]).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.n_users) <= max(2, 0.05 * r.n_users), r
