@@ -160,14 +160,43 @@ def q12_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W1", "W2", "T17"),
 )
 def q20_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/lead/dense_rank; dense_rank over segment doubles as the
-    string→categorical code recode (reference T17, `string.rs` recode)."""
-    c = T(spark, sf_dir, "customer")
-    wb = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    ws = W.orderBy("c_mktsegment")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(wb).cast("bigint").alias("bal_quartile"),
-        F.lead("c_custkey").over(wb).alias("next_cust"),
-        F.dense_rank().over(ws).cast("bigint").alias("seg_code"),
+    """ntile/lead/dense_rank over a GLOBAL order — without the global
+    window. A naive `Window.orderBy(...)` plans Exchange SinglePartition
+    (every customer through one task — the 100 TB cliff this query used to
+    document as its known weakness); instead the total order goes through
+    `global_ranks` (operators/ranking.py): range-repartition + local rank
+    + broadcast partition offsets — every stage balanced. From the exact
+    global rank, NTILE(4) is pure arithmetic (`ntile_from_rank`, the
+    standard-SQL remainder rule both engines implement), LEAD is an
+    equi-join on rank+1, and the segment dense_rank is a broadcast join
+    against the ranked 5-row distinct-segment table (T17's
+    string→categorical recode). Same results as the single-window form —
+    the oracle is the plain NTILE/LEAD/DENSE_RANK SQL — but the plan
+    scales: more shuffles, all balanced, none single-reducer."""
+    from minarrow_spark.operators.ranking import global_ranks, ntile_from_rank
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    ranked = global_ranks(c, order)
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    nxt = ranked.select(
+        (F.col("grank") - 1).alias("grank"), F.col("c_custkey").alias("next_cust")
+    )
+    segs = c.select("c_mktsegment").distinct()
+    sw = W.orderBy("c_mktsegment")  # 5 distinct segments — tiny by design
+    seg_codes = segs.withColumn(
+        "seg_code", F.row_number().over(sw).cast("bigint")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(nxt, "grank", "left")
+        .join(F.broadcast(seg_codes), "c_mktsegment")
+        .select(
+            "c_custkey",
+            ntile_from_rank(F.col("grank"), F.col("__n"), 4).alias("bal_quartile"),
+            "next_cust",
+            "seg_code",
+        )
     )

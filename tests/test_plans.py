@@ -95,7 +95,11 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # ONE partition shuffle (same partitionBy/orderBy → one sort).
         ("q11_window_lag", 1),
         ("q12_moving_window", 1),
-        ("q20_ntile_lead", 1),
+        # q20: global order WITHOUT Exchange SinglePartition — range
+        # exchange + per-partition rank + rank-join lead + tiny aggs. More
+        # exchanges than the old single-window form but every one balanced;
+        # the absence of a single-reducer sort is asserted separately below.
+        ("q20_ntile_lead", 10),
         # Packing: cumulative window + rollup share the (lang, shard)
         # partitioning — the groupBy must NOT add a second exchange.
         ("q42_sequence_packing", 1),

@@ -509,3 +509,41 @@ def test_cms_overestimates_and_is_partition_invariant(spark, sf_dir):
         assert r.cms_est >= r.n_exact, r            # CMS never underestimates
         # ε = e/w bound with generous slack (deterministic hashes, fixed data)
         assert r.cms_est <= r.n_exact + 0.05 * n_total, r
+
+
+# --------------------------------------------------------------------------
+# Global ranking without a single-reducer window
+# --------------------------------------------------------------------------
+
+
+def test_global_ranks_matches_single_window(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from minarrow_spark.operators.ranking import global_ranks
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    two_phase = global_ranks(c, order, n_partitions=7)
+    naive = c.withColumn(
+        "grank", F.row_number().over(W.orderBy(*order)).cast("bigint")
+    )
+    assert _canon(two_phase.select("c_custkey", "grank")) == _canon(
+        naive.select("c_custkey", "grank")
+    )
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    from pyspark.sql import Window as W
+
+    from minarrow_spark.operators.ranking import ntile_from_rank
+
+    for n, k in ((17, 4), (16, 4), (3, 4), (100, 7), (1, 1)):
+        df = spark.range(1, n + 1).select(F.col("id").alias("v"))
+        naive = df.select(
+            "v", F.ntile(k).over(W.orderBy("v")).cast("bigint").alias("t")
+        )
+        derived = df.select(
+            "v",
+            ntile_from_rank(F.col("v"), F.lit(n).cast("bigint"), k).alias("t"),
+        )
+        assert _canon(naive) == _canon(derived), (n, k)
