@@ -48,32 +48,34 @@ def c(df: DataFrame, *selectors: str | int | slice) -> DataFrame:
 def r(df: DataFrame, start: int, stop: int, order_by: str | list[str]) -> DataFrame:
     """Row window [start, stop) in ``order_by`` order (reference `.r(a..b)`).
 
-    start==0 plans as a limit (no window); general ranges use a row_number
-    filter. ``order_by`` must be a (composite) unique key for deterministic
-    results."""
+    start==0 plans as a limit (TakeOrderedAndProject — per-partition top-k,
+    no global sort); general ranges rank through `global_ranks`
+    (operators/ranking.py) — range-repartition + local rank + broadcast
+    offsets, never an Exchange SinglePartition. ``order_by`` must be a
+    (composite) unique key for deterministic results."""
+    from minarrow_spark.operators.ranking import global_ranks
+
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
     if start == 0:
         return df.orderBy(*keys).limit(stop)
-    w = Window.orderBy(*keys)
+    ranked = global_ranks(df, [F.col(k) for k in keys], rank_col="__rn")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > start) & (F.col("__rn") <= stop))
+        ranked.filter((F.col("__rn") > start) & (F.col("__rn") <= stop))
         .drop("__rn")
     )
 
 
 def gather(df: DataFrame, indices: Iterable[int], order_by: str | list[str]) -> DataFrame:
     """Materialize arbitrary row positions (reference `gather_rows`,
-    `table_view.rs:787`): row_number in key order, semi-join against the
-    index list (broadcast — index lists are small by construction)."""
+    `table_view.rs:787`): `global_ranks` row numbers in key order (balanced
+    two-phase ranking, no single-reducer window), filtered against the
+    index list (small by construction)."""
+    from minarrow_spark.operators.ranking import global_ranks
+
     keys = [order_by] if isinstance(order_by, str) else list(order_by)
-    w = Window.orderBy(*keys)
     idx = [int(i) + 1 for i in indices]  # 0-based → row_number's 1-based
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").isin(idx))
-        .drop("__rn")
-    )
+    ranked = global_ranks(df, [F.col(k) for k in keys], rank_col="__rn")
+    return ranked.filter(F.col("__rn").isin(idx)).drop("__rn")
 
 
 def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:

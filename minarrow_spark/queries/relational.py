@@ -627,13 +627,15 @@ def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
       `table.rs:603`): first 50 supplier rows vs the rest, summarized.
 
     Order is defined by unique keys, so every index is stable under any
-    partitioning. For a fact-scale slice/split the same semantics come from
-    range filters on the sort key (zero-shuffle, partition-prunable); the
-    window form pins the exact at-index semantics on bounded inputs."""
-    from pyspark.sql import Window as W
+    partitioning. Row numbers come from `global_ranks` (operators/
+    ranking.py): range-repartition + local rank + broadcast offsets — the
+    exact at-index semantics with NO single-reducer window, so the suite
+    keeps its meaning at fact scale (where a range filter on the sort key
+    additionally partition-prunes, as the docstrings note)."""
+    from minarrow_spark.operators.ranking import global_ranks
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranked = o.withColumn("rn", F.row_number().over(W.orderBy("o_orderkey")))
+    ranked = global_ranks(o, [F.col("o_orderkey")], rank_col="rn")
     slice_rows = ranked.filter(F.col("rn").between(101, 110)).select(
         F.lit("slice").alias("op"),
         F.col("o_orderkey").alias("key"),
@@ -647,9 +649,9 @@ def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("val"),
     )
     s = T(spark, sf_dir, "supplier")
-    numbered = s.select(
-        "s_acctbal", F.row_number().over(W.orderBy("s_suppkey")).alias("rn")
-    )
+    numbered = global_ranks(
+        s.select("s_acctbal", "s_suppkey"), [F.col("s_suppkey")], rank_col="rn"
+    ).drop("s_suppkey")
     split_rows = (
         numbered.withColumn(
             "part_id",
