@@ -500,6 +500,7 @@ def q27_table_broadcast_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 _KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
 _KM_SCALE = 1_000_000_000  # must match operators/clustering._MEAN_SCALE
+_PCA_D, _PCA_ITERS, _PCA_SCALE = 8, 24, 1_000_000  # match operators/pca exact tier
 
 
 def _km_d2(emb: str, cent: str) -> str:
@@ -583,6 +584,110 @@ def _km_oracle_rows() -> str:
     """
 
 
+def _pca_iter_ctes(cov: str, cpre: str, pre: str, d: int, iters: int) -> str:
+    """Unrolled power iteration over the d×d covariance CTE ``cov`` (columns
+    ``{cpre}_j_i``): ``iters`` steps of w = C·v, v = w/‖w‖, then Rayleigh
+    λ = vᵀCv — every expression a strict left-to-right chain, mirroring
+    operators/pca.power_iteration term for term so the doubles are
+    bit-identical."""
+    import math as _m
+
+    v0 = repr(1.0 / _m.sqrt(float(d)))
+    ctes = [
+        f"{pre}it0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST({v0} AS DOUBLE) AS v_{j}" for j in range(d))
+        + ")"
+    ]
+    for t in range(iters):
+        ws = ", ".join(
+            " + ".join(f"{cpre}_{j}_{i} * v_{i}" for i in range(d)) + f" AS w_{j}"
+            for j in range(d)
+        )
+        ctes.append(f"{pre}w{t} AS MATERIALIZED (SELECT {ws} FROM {cov}, {pre}it{t})")
+        sq = " + ".join(f"w_{j} * w_{j}" for j in range(d))
+        ctes.append(
+            f"{pre}n{t} AS MATERIALIZED (SELECT sqrt({sq}) AS nrm, "
+            + ", ".join(f"w_{j}" for j in range(d))
+            + f" FROM {pre}w{t})"
+        )
+        ctes.append(
+            f"{pre}it{t + 1} AS MATERIALIZED (SELECT "
+            + ", ".join(f"w_{j} / nrm AS v_{j}" for j in range(d))
+            + f" FROM {pre}n{t})"
+        )
+    us = ", ".join(
+        " + ".join(f"{cpre}_{j}_{i} * v_{i}" for i in range(d)) + f" AS u_{j}"
+        for j in range(d)
+    )
+    ctes.append(f"{pre}u AS MATERIALIZED (SELECT {us} FROM {cov}, {pre}it{iters})")
+    lam = " + ".join(f"v_{j} * u_{j}" for j in range(d))
+    ctes.append(f"{pre}lam AS MATERIALIZED (SELECT {lam} AS lam FROM {pre}u, {pre}it{iters})")
+    return ", ".join(ctes)
+
+
+def _pca_oracle_ctes() -> str:
+    """The q52 'pca' tier replayed in DuckDB: exact scaled-long gramian over
+    the first {_PCA_D} embedding dims (sums < 2⁵³ ⇒ BIGINT→DOUBLE casts are
+    exact), fixed-order covariance, {_PCA_ITERS}-step power iteration, Hotelling
+    deflation for PC2, and 6-digit-rounded exact-decimal projection sums.
+    Reuses the k-means ``v`` CTE (embeddings as DOUBLE[])."""
+    d, iters, sc = _PCA_D, _PCA_ITERS, _PCA_SCALE
+    cols = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i in range(d):
+        cols.append(
+            f"CAST(CAST(SUM(CAST(round(emb[{i + 1}] * {sc}) AS BIGINT)) "
+            f"AS BIGINT) AS DOUBLE) AS s_{i}"
+        )
+    for i in range(d):
+        for j in range(i, d):
+            cols.append(
+                f"CAST(CAST(SUM(CAST(round(emb[{i + 1}] * {sc}) AS BIGINT) * "
+                f"CAST(round(emb[{j + 1}] * {sc}) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+                f" AS p_{i}_{j}"
+            )
+    ctes = ["pg AS MATERIALIZED (SELECT " + ", ".join(cols) + " FROM v)"]
+    cexprs = []
+    for jj in range(d):
+        for ii in range(d):
+            p = f"p_{jj}_{ii}" if ii >= jj else f"p_{ii}_{jj}"
+            cexprs.append(
+                f"({p} / n - (s_{jj} / n) * (s_{ii} / n)) / 1e12 AS c_{jj}_{ii}"
+            )
+    ctes.append("pcv AS MATERIALIZED (SELECT " + ", ".join(cexprs) + " FROM pg)")
+    ctes.append(_pca_iter_ctes("pcv", "c", "p1", d, iters))
+    dexprs = [
+        f"c_{jj}_{ii} - (lam * v_{jj}) * v_{ii} AS e_{jj}_{ii}"
+        for jj in range(d)
+        for ii in range(d)
+    ]
+    ctes.append(
+        "pcw AS MATERIALIZED (SELECT "
+        + ", ".join(dexprs)
+        + f" FROM pcv, p1it{iters}, p1lam)"
+    )
+    ctes.append(_pca_iter_ctes("pcw", "e", "p2", d, iters))
+    for c in (1, 2):
+        proj = " + ".join(f"v.emb[{i + 1}] * t.v_{i}" for i in range(d))
+        ctes.append(
+            f"pj{c} AS MATERIALIZED (SELECT CAST(SUM(CAST(round({proj}, 6) "
+            f"AS DECIMAL(18,6))) AS DOUBLE) AS ps FROM v, p{c}it{iters} t)"
+        )
+    return ", ".join(ctes)
+
+
+def _pca_oracle_rows() -> str:
+    parts = []
+    for c in (1, 2):
+        for j in range(_PCA_D):
+            parts.append(
+                f"SELECT 'pca' AS tier, 'pc{c}' AS var_a, 'dim_0{j}' AS var_b, "
+                f"v_{j} AS cov FROM p{c}it{_PCA_ITERS}"
+            )
+        parts.append(f"SELECT 'pca', 'pc{c}', 'lambda', lam FROM p{c}lam")
+        parts.append(f"SELECT 'pca', 'pc{c}', 'proj_sum', ps FROM pj{c}")
+    return " UNION ALL ".join(parts)
+
+
 def _cov_oracle() -> str:
     sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
     for c in _MAT_COLS:
@@ -604,14 +709,18 @@ def _cov_oracle() -> str:
     return (
         "WITH g AS (SELECT " + ", ".join(sums) + " FROM lineitem), "
         + _km_oracle_ctes()
+        + ", "
+        + _pca_oracle_ctes()
         + " "
         + " UNION ALL ".join(rows)
         + " UNION ALL "
         + _km_oracle_rows()
+        + " UNION ALL "
+        + _pca_oracle_rows()
     )
 
 
-@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix", "clustering"))
+@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix", "clustering", "pca"))
 def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed linear-algebra suite, two tiers:
 
@@ -630,7 +739,18 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.aggregate fold, and the scaled-long mean arithmetic is plain IEEE
       ops both engines share), plus per-cluster sizes and 6-digit-rounded
       exact-decimal inertia. The k-means collects are k×dim MODEL STATE
-      per iteration — the sanctioned exception to the no-collect rule."""
+      per iteration — the sanctioned exception to the no-collect rule.
+    * tier 'pca' — exact-gramian PCA over the first 8 embedding dims
+      (operators/pca.py exact tier): components quantize to 6-decimal
+      scaled longs, so every cross-moment is an exact integer sum
+      (order-free, < 2⁵³ ⇒ BIGINT→DOUBLE is exact in both engines); the
+      24-step power iteration + Hotelling deflation then run on the driver
+      as model-state math in a fixed IEEE order that the DuckDB oracle
+      unrolls CTE-for-CTE (AS MATERIALIZED — inlining the scalar chain is
+      exponential), making even the eigenvector components bit-checkable.
+      Projection sums re-enter the cluster as zero-shuffle literal-component
+      dots, rounded per value and summed as exact decimal. At 100 TB the
+      distributed cost is ONE scan emitting 45 integer partials."""
     l = T(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _MAT_COLS:
@@ -684,9 +804,68 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["tier", "var_a", "var_b", "cov"],
     )
+
+    from minarrow_spark.operators.pca import (
+        deflate,
+        exact_cov,
+        exact_gramian,
+        pca_project,
+        power_iteration,
+    )
+
+    # tier 'pca' — exact-gramian PCA over the first _PCA_D dims: the
+    # distributed job is the scaled-long moment aggregation (model-state
+    # collect); power iteration + deflation run driver-side on the exact
+    # covariance with a fixed IEEE evaluation order that the DuckDB twin
+    # (_pca_oracle_ctes) unrolls bit-for-bit. The projection sums re-enter
+    # the cluster: per-row zero-shuffle dots with the literal components,
+    # rounded per value and summed as exact decimal.
+    pmat, psum, pn = exact_gramian(e, dims=_PCA_D, scale=_PCA_SCALE)
+    pcov = exact_cov(pmat, psum, pn, _PCA_SCALE)
+    v1, l1 = power_iteration(pcov, iters=_PCA_ITERS)
+    v2, l2 = power_iteration(deflate(pcov, v1, l1), iters=_PCA_ITERS)
+    prows = [
+        ("pca", f"pc{c}", f"dim_{j:02d}", vec[j])
+        for c, vec in ((1, v1), (2, v2))
+        for j in range(_PCA_D)
+    ] + [("pca", "pc1", "lambda", l1), ("pca", "pc2", "lambda", l2)]
+    pc = spark.createDataFrame(prows, ["tier", "var_a", "var_b", "cov"])
+    sub = e.select(F.slice(F.col("embedding").cast("array<double>"), 1, _PCA_D).alias("sub"))
+    pj = pca_project(pca_project(sub, [v1], "sub", "j1"), [v2], "sub", "j2").agg(
+        F.sum(F.round(F.element_at("j1", 1), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ps1"),
+        F.sum(F.round(F.element_at("j2", 1), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ps2"),
+    )
+    pjr = pj.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pca").alias("tier"),
+                    F.lit("pc1").alias("var_a"),
+                    F.lit("proj_sum").alias("var_b"),
+                    F.col("ps1").alias("cov"),
+                ),
+                F.struct(
+                    F.lit("pca").alias("tier"),
+                    F.lit("pc2").alias("var_a"),
+                    F.lit("proj_sum").alias("var_b"),
+                    F.col("ps2").alias("cov"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.tier", "r.var_a", "r.var_b", "r.cov")
+
     pick = lambda df: df.select("tier", "var_a", "var_b", "cov")
-    return pick(cov).unionByName(pick(kn)).unionByName(pick(ki)).unionByName(
-        pick(kc)
+    return (
+        pick(cov)
+        .unionByName(pick(kn))
+        .unionByName(pick(ki))
+        .unionByName(pick(kc))
+        .unionByName(pick(pc))
+        .unionByName(pick(pjr))
     )
 
 

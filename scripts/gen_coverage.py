@@ -99,6 +99,7 @@ def main() -> None:
         ("text normalization (Catalyst cleanup + Arrow NFC)", "normalize"),
         ("continuous rollup (partials / compaction / merge-on-read)", "rollup"),
         ("k-means clustering + balanced sampling", "clustering"),
+        ("exact-gramian PCA (power iteration, bit-checked cross-engine)", "pca"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
