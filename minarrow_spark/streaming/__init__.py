@@ -1,4 +1,15 @@
-from minarrow_spark.streaming.ingest import read_event_stream, replay_dir, run_to_memory
+from minarrow_spark.streaming.dedup import (
+    batch_twin as dedup_batch_twin,
+    compact_state as compact_dedup_state,
+    streaming_dedup,
+    verdicts as dedup_verdicts,
+)
+from minarrow_spark.streaming.ingest import (
+    read_event_stream,
+    replay_dir,
+    replay_frame_dir,
+    run_to_memory,
+)
 from minarrow_spark.streaming.rollup import (
     compact_rollup,
     continuous_rollup,
@@ -16,7 +27,9 @@ from minarrow_spark.streaming.windows import (
 )
 
 __all__ = [
-    "read_event_stream", "replay_dir", "run_to_memory",
+    "read_event_stream", "replay_dir", "replay_frame_dir", "run_to_memory",
+    "dedup_batch_twin", "compact_dedup_state", "streaming_dedup",
+    "dedup_verdicts",
     "compact_rollup", "continuous_rollup", "rollup_batch_twin", "rollup_view",
     "rollup_writer",
     "dedup_within_watermark", "hopping_counts", "running_totals_per_user",

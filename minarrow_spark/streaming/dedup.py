@@ -1,0 +1,203 @@
+"""Incremental (streaming) near-duplicate detection: dedup a document
+STREAM against everything already ingested, without ever rescanning raw
+history.
+
+The 100 TB pattern: a training-data pipeline ingests documents
+continuously; each new document must be checked against the full corpus
+seen so far. Recomputing batch MinHash-LSH over all history per micro-batch
+is O(history); the incremental form is O(new data):
+
+* each micro-batch computes its docs' LSH **band keys** (identical hash
+  definition to the batch operator — ``operators/dedup.minhash_signatures``
+  / ``lsh_candidates``, equivalence pinned there) and probes the
+  accumulated band-key state with one join;
+* a doc is a duplicate iff any of its band keys was seen in an earlier
+  batch, or earlier (lower ``doc_id``) within its own batch — first
+  arrival wins, deterministically;
+* the batch then appends its own (band_key → first doc) rows to the state
+  under ``batch=<id>`` — foreachBatch's batch_id is stable across restarts
+  from the same checkpoint, and the directory is overwritten on replay, so
+  the state sink is idempotent (effectively exactly-once), the same LSM
+  shape as ``streaming/rollup.py``;
+* state grows with DISTINCT band keys (corpus-scale but signature-sized —
+  ~n_bands small rows per doc, no text, no shingles); ``compact_state``
+  folds the per-batch files into one min-merged set, and the probe join is
+  a plain equi-join that a real deployment bucket-partitions by band_key.
+
+Batch equivalence: when arrival order follows ``doc_id`` (the replay
+harness's id-range chunks), the streamed verdicts equal the one-shot
+``batch_twin`` — dup iff a lower-id doc shares a band key — for ANY
+batch split (pinned in tests/test_streaming.py).
+
+Reference parity: the reference has no streaming dedup (its closest
+surface is chunked-container append, `super_table.rs:99`); this is a
+beyond-reference extension in the dedup family (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minarrow_spark.operators.dedup import doc_shingle_arrays, minhash_signatures
+
+
+def band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, band_id, band_key) rows — the same band-key definition as
+    ``operators/dedup.lsh_candidates`` (md5 over concatenated signature
+    slices), factored so batch and streaming tiers share one hash."""
+    sig = minhash_signatures(
+        doc_shingle_arrays(docs.select("doc_id", text_col), k), num_hashes
+    )
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_key")
+        .filter(F.col("band_key").isNotNull())  # shingle-less docs never collide
+    )
+
+
+def _read_state(spark: SparkSession, state_dir: str, before_batch: int) -> DataFrame:
+    """Accumulated band-key state from batches strictly before ``before_batch``
+    (a replayed batch must not probe its own earlier attempt). Merge-on-read;
+    empty frame when no state exists yet."""
+    try:
+        prior = spark.read.option("basePath", state_dir).parquet(state_dir)
+    except Exception:
+        return spark.createDataFrame(
+            [], "band_id int, band_key string, first_id bigint"
+        )
+    return prior.filter(F.col("batch") < before_batch).select(
+        "band_id", "band_key", "first_id"
+    )
+
+
+def dedup_writer(
+    state_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+):
+    """foreachBatch callback: verdicts to ``out_dir/batch=<id>``, this
+    batch's (band_key → first doc) rows to ``state_dir/batch=<id>`` — both
+    overwritten on replay of the same batch id (idempotent)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = band_rows(batch, text_col, num_hashes, band_size, k)
+        # reused by probe, within-batch min, and the state write → one compute
+        keys = keys.localCheckpoint(eager=True)
+        batch_first = keys.groupBy("band_id", "band_key").agg(
+            F.min("doc_id").alias("first_id")
+        )
+        prior = _read_state(spark, state_dir, batch_id)
+        hit_prior = keys.join(
+            prior.select("band_id", "band_key"), ["band_id", "band_key"], "left_semi"
+        ).select("doc_id")
+        hit_within = (
+            keys.join(batch_first, ["band_id", "band_key"])
+            .filter(F.col("doc_id") > F.col("first_id"))
+            .select("doc_id")
+        )
+        dups = hit_prior.unionByName(hit_within).distinct()
+        verdict = (
+            batch.select("doc_id")
+            .distinct()
+            .join(dups.withColumn("_dup", F.lit(True)), "doc_id", "left")
+            .select("doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+        )
+        verdict.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        batch_first.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    return write_batch
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **kw,
+):
+    """Start the incremental dedup stream (availableNow: drain what exists,
+    then stop — a live cluster uses a processingTime trigger). Returns the
+    StreamingQuery handle."""
+    return (
+        docs_stream.writeStream.foreachBatch(dedup_writer(state_dir, out_dir, **kw))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All per-doc verdicts written so far: (doc_id, is_dup, batch)."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> DataFrame:
+    """LSM compaction of the band-key state: min-of-firsts per key — the
+    same merge algebra the probe's "earlier batch wins" relies on, so a
+    compacted state answers probes identically. Writes to ``out_dir``
+    (never in place: a live stream may still be appending)."""
+    compacted = (
+        spark.read.option("basePath", state_dir)
+        .parquet(state_dir)
+        .groupBy("band_id", "band_key")
+        .agg(F.min("first_id").alias("first_id"))
+    )
+    compacted.write.mode("overwrite").parquet(out_dir)
+    return compacted
+
+
+def batch_twin(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """One-shot recomputation of the same verdicts (backfills/equivalence
+    tests): a doc is a duplicate iff a lower-id doc shares any band key —
+    exactly the streamed outcome when arrival order follows doc_id."""
+    keys = band_rows(docs, text_col, num_hashes, band_size, k)
+    first = keys.groupBy("band_id", "band_key").agg(F.min("doc_id").alias("first_id"))
+    dups = (
+        keys.join(first, ["band_id", "band_key"])
+        .filter(F.col("doc_id") > F.col("first_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(dups.withColumn("_dup", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+    )

@@ -32,14 +32,24 @@ def replay_dir(
     """Materialize `events` as ``n_chunks`` parquet files for streaming replay
     (the SuperTable::push batch sequence). Chunks are split on event_id ranges
     so replay order is deterministic."""
-    out = base_dir or tempfile.mkdtemp(prefix="minarrow_stream_")
     e = load_table(spark, sf_dir, "events")
+    return replay_frame_dir(e, "event_id", n_chunks, base_dir)
+
+
+def replay_frame_dir(
+    df: DataFrame, id_col: str, n_chunks: int = 8, base_dir: str | None = None
+) -> str:
+    """Materialize any frame as ``n_chunks`` id-range chunk files for replay.
+    Chunks are written in ascending id order (the file source picks batches
+    up in modification order), so arrival order tracks ``id_col``."""
+    out = base_dir or tempfile.mkdtemp(prefix="minarrow_stream_")
+    e = df
     # Even-width id ranges → stable chunking independent of partition layout.
-    bounds = e.agg(F.min("event_id"), F.max("event_id")).first()
+    bounds = e.agg(F.min(id_col), F.max(id_col)).first()
     lo, hi = bounds[0], bounds[1]
     width = max(1, (hi - lo + n_chunks) // n_chunks)
     chunked = e.withColumn(
-        "chunk", ((F.col("event_id") - F.lit(lo)) / width).cast("int")
+        "chunk", ((F.col(id_col) - F.lit(lo)) / width).cast("int")
     )
     for i in range(n_chunks):
         (

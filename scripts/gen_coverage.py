@@ -109,6 +109,11 @@ def main() -> None:
         "q36_simhash 'clusters' tier (driver oracle-checked vs a DuckDB "
         "recursive-CTE closure); operators/graph.py + tests/test_graph.py |"
     )
+    out.append(
+        "| incremental streaming dedup (LSH state table, exactly-once, "
+        "compactable) | streaming/dedup.py — batch-twin equivalence + replay "
+        "idempotence + compaction algebra pinned in tests/test_streaming.py |"
+    )
 
     with open("COVERAGE.md", "w") as f:
         f.write("\n".join(out) + "\n")

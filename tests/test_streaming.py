@@ -361,3 +361,56 @@ def test_rollup_hll_distinct_users_accuracy(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.n_users) <= max(2, 0.05 * r.n_users), r
+
+
+def test_streaming_dedup_matches_batch_twin(spark, tmp_path):
+    """Incremental LSH dedup over an id-ordered replay equals the one-shot
+    batch twin for every doc, replayed batches are idempotent, and the
+    compacted state answers probes identically."""
+    from minarrow_spark.operators.dedup import augment_with_near_dups
+    from minarrow_spark.streaming.dedup import (
+        band_rows,
+        batch_twin,
+        compact_state,
+        dedup_writer,
+        streaming_dedup,
+        verdicts,
+    )
+    from minarrow_spark.streaming.ingest import replay_frame_dir
+    from tests.conftest import SF_SMALL
+
+    docs = augment_with_near_dups(
+        spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    ).select("doc_id", "text")
+    replay = replay_frame_dir(docs, "doc_id", n_chunks=5, base_dir=str(tmp_path / "r"))
+    schema = spark.read.parquet(os.path.join(replay, "chunk=0000")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay)
+    )
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    q = streaming_dedup(stream, state, out, str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r["doc_id"]: r["is_dup"] for r in verdicts(spark, out).collect()}
+    want = {r["doc_id"]: r["is_dup"] for r in batch_twin(docs).collect()}
+    assert got == want
+    assert sum(want.values()) > 0  # the near-dup population is detected
+    assert not all(want.values())
+    # replaying the LAST batch (same batch_id) must not change any verdict:
+    # the writer overwrites its own directories and never probes its own state
+    last = max(
+        int(p.split("=")[1]) for p in os.listdir(out) if p.startswith("batch=")
+    )
+    last_docs = spark.read.parquet(os.path.join(out, f"batch={last}")).select("doc_id")
+    replay_batch = docs.join(last_docs, "doc_id", "left_semi")
+    dedup_writer(state, out)(replay_batch, last)
+    again = {r["doc_id"]: r["is_dup"] for r in verdicts(spark, out).collect()}
+    assert again == want
+    # compaction preserves the probe algebra: min-of-firsts == twin's firsts
+    comp = compact_state(spark, state, str(tmp_path / "state_c"))
+    first = band_rows(docs).groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    assert _canon(comp) == _canon(first)
