@@ -37,9 +37,69 @@ def _sql_score(lang: str) -> str:
 
 _SQL_BPE = BPE_PATTERN.replace("'", "''")
 
-@query(
-    "q30_token_stats",
-    oracle=f"""
+_BPE_MERGES, _BPE_MAXW, _BPE_TOPT = 20, 500, 15
+_Q30_METRICS = [
+    "n_docs", "total_tokens", "max_tokens", "total_bpe_tokens",
+    "max_bpe_tokens", "total_chars", "avg_chars",
+]
+
+
+def _bpe_oracle_ctes() -> str:
+    """The q30 'bpe' tiers replayed in DuckDB: word histogram → top-N
+    truncation → {_BPE_MERGES} merge iterations (pair counts weighted by word
+    freq, winner by (count DESC, pair ASC), one boundary-anchored replace
+    pass) → token counts of the final vocabulary. Semantics contract lives
+    in operators/bpe.py; every CTE is MATERIALIZED (scalar-chain inlining
+    is exponential — see q52)."""
+    t = _BPE_MERGES
+    ctes = [
+        "bw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w)",
+        f"btr AS MATERIALIZED (SELECT w, f FROM bw ORDER BY f DESC, w "
+        f"LIMIT {_BPE_MAXW})",
+        "bv0 AS MATERIALIZED (SELECT '|' || array_to_string("
+        "string_split_regex(w, ''), '|') || '|' AS s, f FROM btr)",
+    ]
+    for i in range(t):
+        ctes.append(
+            f"bp{i} AS MATERIALIZED (SELECT pr, SUM(f) AS c FROM "
+            f"(SELECT unnest(list_transform(range(1, len(a)), "
+            f"j -> a[j] || '|' || a[j+1])) AS pr, f FROM "
+            f"(SELECT string_split(trim(s, '|'), '|') AS a, f FROM bv{i})) "
+            f"GROUP BY pr)"
+        )
+        ctes.append(
+            f"bb{i} AS MATERIALIZED (SELECT pr, CAST(c AS DOUBLE) AS c "
+            f"FROM bp{i} ORDER BY c DESC, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"bv{i + 1} AS MATERIALIZED (SELECT replace(s, '|' || pr || '|', "
+            f"'|' || replace(pr, '|', '') || '|') AS s, f FROM bv{i}, bb{i})"
+        )
+    ctes.append(
+        f"btok AS MATERIALIZED (SELECT tk, CAST(SUM(f) AS DOUBLE) AS c FROM "
+        f"(SELECT unnest(string_split(s, '|')) AS tk, f FROM bv{t}) "
+        f"WHERE tk <> '' GROUP BY tk)"
+    )
+    ctes.append(
+        f"btop AS MATERIALIZED (SELECT tk, c, ROW_NUMBER() OVER "
+        f"(ORDER BY c DESC, tk) AS r FROM btok QUALIFY r <= {_BPE_TOPT})"
+    )
+    return ", ".join(ctes)
+
+
+def _q30_oracle() -> str:
+    metric_rows = " UNION ALL ".join(
+        f"SELECT 'langgrid' AS tier, lang AS ka, predicted AS kb, "
+        f"'{m}' AS sval, {m} AS val FROM agg"
+        for m in _Q30_METRICS
+    )
+    merge_rows = " UNION ALL ".join(
+        f"SELECT 'bpe_merge', 'm{i:02d}', pr, replace(pr, '|', ''), c FROM bb{i}"
+        for i in range(_BPE_MERGES)
+    )
+    return f"""
     WITH scored AS (
       SELECT lang, text, n_chars,
              {_sql_score('en')} AS s_en,
@@ -64,45 +124,130 @@ _SQL_BPE = BPE_PATTERN.replace("'", "''")
              END AS predicted,
              text, n_chars
       FROM scored
-    )
-    SELECT lang, predicted,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS total_tokens,
-           CAST(MAX({_SQL_TOKENS}) AS BIGINT) AS max_tokens,
-           CAST(SUM(len(regexp_extract_all(lower(text), '{_SQL_BPE}')))
-                AS BIGINT) AS total_bpe_tokens,
-           CAST(MAX(len(regexp_extract_all(lower(text), '{_SQL_BPE}')))
-                AS BIGINT) AS max_bpe_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-    FROM labeled
-    GROUP BY lang, predicted
-    """,
-    tags=("text", "tokenize", "lang-id"),
+    ),
+    agg AS (
+      SELECT lang, predicted,
+             CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM({_SQL_TOKENS}) AS DOUBLE) AS total_tokens,
+             CAST(MAX({_SQL_TOKENS}) AS DOUBLE) AS max_tokens,
+             CAST(SUM(len(regexp_extract_all(lower(text), '{_SQL_BPE}')))
+                  AS DOUBLE) AS total_bpe_tokens,
+             CAST(MAX(len(regexp_extract_all(lower(text), '{_SQL_BPE}')))
+                  AS DOUBLE) AS max_bpe_tokens,
+             CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM labeled
+      GROUP BY lang, predicted
+    ),
+    {_bpe_oracle_ctes()}
+    {metric_rows}
+    UNION ALL {merge_rows}
+    UNION ALL
+    SELECT 'bpe_token', 't' || lpad(CAST(r - 1 AS VARCHAR), 2, '0'), tk, '', c
+    FROM btop
+    """
+
+
+@query(
+    "q30_token_stats",
+    oracle=_q30_oracle(),
+    tags=("text", "tokenize", "lang-id", "bpe"),
 )
 def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token statistics on the language-ID confusion grid — labeled ×
-    predicted language (the stopword-heuristic argmax), with both counting
-    tiers as exact integer sums: whitespace tokens and BPE-ish
-    subword-boundary tokens (the pre-merge count a byte-pair tokenizer
-    starts from — see functions/text.py BPE_PATTERN for the cross-engine
-    regex contract). One codegen'd projection, one map-side-combined
-    shuffle on the (lang, predicted) key."""
+    """Tokenization suite, three tiers (long form: tier/ka/kb/sval/val):
+
+    * tier 'langgrid' — token statistics on the language-ID confusion grid,
+      labeled × predicted language (the stopword-heuristic argmax), both
+      counting contracts as exact integer sums: whitespace tokens and
+      BPE-ish subword-boundary tokens (functions/text.py BPE_PATTERN). One
+      codegen'd projection, one map-side-combined shuffle.
+    * tier 'bpe_merge' — DISTRIBUTED BPE VOCABULARY TRAINING
+      (operators/bpe.py): the corpus-scale step is one word-histogram
+      shuffle (map-side combined, vocabulary-cardinality output); the
+      20-step merge loop runs on the truncated histogram as model
+      state (total-order tie-breaks, no RNG) and the DuckDB oracle replays
+      every iteration — each learned merge's pair, merged token, and count
+      are hash-checked.
+    * tier 'bpe_token' — the learned vocabulary applied BACK distributed:
+      `bpe_encode` is a chain of literal replaces (whole-stage codegen,
+      zero shuffle — the 100 TB encode path), then token counts over the
+      histogram and a top-15 ranking (the final window sorts
+      vocabulary-cardinality rows, bounded model scale, not row data).
+    """
+    from minarrow_spark.operators.bpe import (
+        bpe_encode,
+        bpe_tokens,
+        bpe_train,
+        symbolize,
+        word_histogram,
+    )
+
     d = par(T(spark, sf_dir, "documents"))
     nt = token_count(F.col("text"))
     nb = bpe_token_count(F.col("text"))
-    return d.select(
+    g = d.select(
         "lang", lang_predict(F.col("text")).alias("predicted"),
         nt.alias("nt"), nb.alias("nb"), "n_chars",
     ).groupBy("lang", "predicted").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("nt").cast("bigint").alias("total_tokens"),
-        F.max("nt").cast("bigint").alias("max_tokens"),
-        F.sum("nb").cast("bigint").alias("total_bpe_tokens"),
-        F.max("nb").cast("bigint").alias("max_bpe_tokens"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("nt").cast("double").alias("total_tokens"),
+        F.max("nt").cast("double").alias("max_tokens"),
+        F.sum("nb").cast("double").alias("total_bpe_tokens"),
+        F.max("nb").cast("double").alias("max_bpe_tokens"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+    lg = g.select(
+        F.lit("langgrid").alias("tier"),
+        F.col("lang").alias("ka"),
+        F.col("predicted").alias("kb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sval"), F.col(m).alias("val")
+                    )
+                    for m in _Q30_METRICS
+                ]
+            )
+        ).alias("m"),
+    ).select("tier", "ka", "kb", "m.sval", "m.val")
+
+    wh = word_histogram(d)
+    hist = wh.orderBy(F.desc("f"), "w").limit(_BPE_MAXW).collect()  # model state
+    merges = bpe_train([(r["w"], r["f"]) for r in hist], _BPE_MERGES)
+    mdf = spark.createDataFrame(
+        [
+            ("bpe_merge", f"m{i:02d}", pr, merged, float(c))
+            for i, (pr, merged, c) in enumerate(merges)
+        ],
+        ["tier", "ka", "kb", "sval", "val"],
+    )
+
+    enc = wh.orderBy(F.desc("f"), "w").limit(_BPE_MAXW).select(
+        bpe_encode(symbolize(F.col("w")), [pr for pr, _, _ in merges]).alias("s"),
+        "f",
+    )
+    tok = (
+        enc.select(F.explode(bpe_tokens(F.col("s"))).alias("tk"), "f")
+        .groupBy("tk")
+        .agg(F.sum("f").cast("double").alias("c"))
+    )
+    topt = (
+        tok.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("c"), "tk"))
+        )
+        .filter(F.col("r") <= _BPE_TOPT)
+        .select(
+            F.lit("bpe_token").alias("tier"),
+            F.format_string("t%02d", F.col("r") - 1).alias("ka"),
+            F.col("tk").alias("kb"),
+            F.lit("").alias("sval"),
+            F.col("c").alias("val"),
+        )
+    )
+    pick = lambda df: df.select("tier", "ka", "kb", "sval", "val")
+    return pick(lg).unionByName(pick(mdf)).unionByName(pick(topt))
 
 
 @query(

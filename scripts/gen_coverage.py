@@ -100,6 +100,7 @@ def main() -> None:
         ("continuous rollup (partials / compaction / merge-on-read)", "rollup"),
         ("k-means clustering + balanced sampling", "clustering"),
         ("exact-gramian PCA (power iteration, bit-checked cross-engine)", "pca"),
+        ("BPE vocabulary training (histogram shuffle + replayed merge loop)", "bpe"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
