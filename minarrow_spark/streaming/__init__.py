@@ -1,3 +1,8 @@
+from minarrow_spark.streaming.ann import (
+    batch_twin as ann_batch_twin,
+    neighbors as ann_neighbors,
+    streaming_ann,
+)
 from minarrow_spark.streaming.dedup import (
     batch_twin as dedup_batch_twin,
     compact_state as compact_dedup_state,
@@ -30,6 +35,7 @@ __all__ = [
     "read_event_stream", "replay_dir", "replay_frame_dir", "run_to_memory",
     "dedup_batch_twin", "compact_dedup_state", "streaming_dedup",
     "dedup_verdicts",
+    "ann_batch_twin", "ann_neighbors", "streaming_ann",
     "compact_rollup", "continuous_rollup", "rollup_batch_twin", "rollup_view",
     "rollup_writer",
     "dedup_within_watermark", "hopping_counts", "running_totals_per_user",

@@ -115,6 +115,11 @@ def main() -> None:
         "compactable) | streaming/dedup.py — batch-twin equivalence + replay "
         "idempotence + compaction algebra pinned in tests/test_streaming.py |"
     )
+    out.append(
+        "| incremental streaming ANN index (cell-partitioned, int8 at-rest, "
+        "exactly-once) | streaming/ann.py — batch-twin equivalence + first-"
+        "batch-empty + replay idempotence pinned in tests/test_streaming.py |"
+    )
 
     with open("COVERAGE.md", "w") as f:
         f.write("\n".join(out) + "\n")

@@ -414,3 +414,63 @@ def test_streaming_dedup_matches_batch_twin(spark, tmp_path):
         F.min("doc_id").alias("first_id")
     )
     assert _canon(comp) == _canon(first)
+
+
+def test_streaming_ann_matches_batch_twin(spark, tmp_path):
+    """Incremental ANN: streamed top-k prior-corpus neighbors (through the
+    int8 at-rest round-trip) equal the one-shot twin for an id-ordered
+    replay; the first batch has no candidates; replay is idempotent."""
+    from minarrow_spark.streaming.ann import (
+        ann_writer,
+        batch_twin,
+        neighbors,
+        streaming_ann,
+    )
+    from minarrow_spark.streaming.ingest import replay_frame_dir
+    from tests.conftest import SF_SMALL
+
+    vecs = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n_chunks = 4
+    replay = replay_frame_dir(
+        vecs, "vec_id", n_chunks=n_chunks, base_dir=str(tmp_path / "r")
+    )
+    schema = spark.read.parquet(os.path.join(replay, "chunk=0000")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(replay)
+    )
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    q = streaming_ann(stream, index, out, str(tmp_path / "ck"), k=3)
+    q.awaitTermination()
+    got = sorted(
+        (r["q_id"], r["c_id"], r["sim"], r["rank"])
+        for r in neighbors(spark, out).collect()
+    )
+    # twin: replicate the replay's id-range batch assignment
+    lo, hi = vecs.agg(F.min("vec_id"), F.max("vec_id")).first()
+    width = max(1, (hi - lo + n_chunks) // n_chunks)
+    twin = batch_twin(
+        vecs, lambda vid: ((vid - F.lit(lo)) / width).cast("int"), k=3
+    )
+    want = sorted(
+        (r["q_id"], r["c_id"], r["sim"], r["rank"]) for r in twin.collect()
+    )
+    assert got == want
+    assert want  # later batches found neighbors
+    first_batch_ids = {
+        r["vec_id"] for r in vecs.filter(F.col("vec_id") < lo + width).collect()
+    }
+    assert first_batch_ids.isdisjoint({q_id for q_id, *_ in want})
+    # replaying the last batch id is a no-op on the verdicts
+    last = max(int(p.split("=")[1]) for p in os.listdir(out) if p.startswith("batch="))
+    rb = vecs.filter(((F.col("vec_id") - lo) / width).cast("int") == last)
+    ann_writer(index, out, k=3)(rb, last)
+    again = sorted(
+        (r["q_id"], r["c_id"], r["sim"], r["rank"])
+        for r in neighbors(spark, out).collect()
+    )
+    assert again == want
