@@ -18,7 +18,7 @@ EXTRA = {
     "S1": "tests/test_arrow_io.py::test_roundtrip_typed_table (`createDataFrame` typed build)",
     "S2": "sources/arrow_io.py `from_arrow` + tests/test_arrow_io.py",
     "S3": "sources/arrow_io.py `to_arrow` + tests/test_arrow_io.py",
-    "S4": "sources/arrow_io.py `arrow_batches` (vectorized per-partition IPC export) + streaming replay (streaming/ingest.py)",
+    "S4": "sources/arrow_io.py `arrow_batches` (vectorized per-partition IPC export) + registrable 'arrow_ipc' format (sources/arrow_ipc.py: Python DataSource, Arrow batches both directions, pushdown reader) + streaming replay (streaming/ingest.py)",
     "S5": "inherited: PySpark's built-in Arrow bridge (pandas_udf / mapInArrow / toArrow)",
     "S6": "sources/arrow_io.py `to_polars`/`from_polars` (import-gated) + pyarrow round-trips; `df.toPandas()` built-in",
     "S7": "n/a by design: Spark manages JVM↔Python exchange (Arrow IPC) and shuffle; no memfd analog needed",
@@ -39,7 +39,7 @@ EXTRA = {
     "ST3": "q46 rollup tier `compact_rollup` (driver oracle-checked); streaming/ingest.py `replay_dir` consolidation",
     "ST4": "q45/q46/q47 event-time windows; streaming twin streaming/windows.py `windowed_counts`",
     "ST5": "streaming/windows.py `stream_pair_join` + tests/test_streaming.py::test_stream_pair_join_matches_batch",
-    "ST6": "sources/arrow_io.py `arrow_batches` (Arrow-IPC data plane, 3x-floor throughput test); memory-sink streaming tests",
+    "ST6": "sources/arrow_io.py `arrow_batches` (Arrow-IPC data plane, 3x-floor throughput test); 'arrow_ipc' stream reader (append-only file queue, sources/arrow_ipc.py); memory-sink streaming tests",
     "ST7": "streaming/windows.py watermarks + `dedup_within_watermark` + `running_totals_per_user` (applyInPandasWithState) + tests",
     "F2": "functions/arithmetic.py `table_op` (q27); operators/projection.py `apply_cols`",
     "F3": "Python closures over arbitrary objects in pandas UDFs / applyInPandas (streaming/windows.py state handler)",
