@@ -438,3 +438,48 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("da", "db", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# blocked edit-distance (fuzzy) self-join — entity-resolution near-dups
+# --------------------------------------------------------------------------
+
+
+def fuzzy_pairs(
+    names: DataFrame,
+    id_col: str = "k",
+    name_col: str = "nm",
+    prefix_len: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Pairs of rows whose ``name_col`` values are within ``max_dist``
+    Levenshtein edits, blocked by the ``prefix_len``-char prefix — the
+    entity-resolution primitive (near-identical titles/names/URLs).
+
+    Scale shape: the self-join is an EQUI-join on the prefix block (never
+    all-pairs); the O(len²) edit-distance kernel runs only inside blocks.
+    ``prefix_len`` is the selectivity lever (longer prefix → smaller
+    blocks → lower recall for early-position edits); at higher density add
+    a second blocking key (length bucket, q37-style) or band over multiple
+    prefixes/suffixes to recover prefix-edit recall. Deterministic: both
+    engines' `levenshtein` is the classic unit-cost edit distance on
+    identical strings.
+    """
+    a = names.select(
+        F.col(id_col).alias("da"),
+        F.col(name_col).alias("na"),
+        F.substring(name_col, 1, prefix_len).alias("pfx"),
+    )
+    b = names.select(
+        F.col(id_col).alias("db"),
+        F.col(name_col).alias("nb"),
+        F.substring(name_col, 1, prefix_len).alias("pfx"),
+    )
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da", "db", F.levenshtein("na", "nb").cast("double").alias("dist")
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

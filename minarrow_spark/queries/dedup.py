@@ -373,21 +373,39 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN g gb ON gb.doc_id = p.db AND gb.gram = ga.gram
       GROUP BY p.da, p.db
     )
-    SELECT p.da, p.db,
+    ,
+    pb AS (
+      SELECT MIN(p_partkey) AS k, p_name AS nm FROM part GROUP BY p_name
+    ),
+    pn AS (
+      SELECT k, nm FROM pb
+      UNION ALL
+      SELECT k + 1000000, substr(nm, 1, 5) || substr(nm, 7)
+      FROM pb WHERE k % 10 = 0
+    )
+    SELECT 'jaccard' AS tier, p.da, p.db,
            round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-                 / (p.ca + p.cb - COALESCE(i.n_inter, 0)), 6) AS jaccard
+                 / (p.ca + p.cb - COALESCE(i.n_inter, 0)), 6) AS metric
     FROM pairs p
     LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
     WHERE round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
                 / (p.ca + p.cb - COALESCE(i.n_inter, 0)), 6) >= 0.3
+    UNION ALL
+    SELECT 'editdist', a.k, b.k, CAST(levenshtein(a.nm, b.nm) AS DOUBLE)
+    FROM pn a JOIN pn b
+      ON substr(a.nm, 1, 4) = substr(b.nm, 1, 4) AND a.k < b.k
+    WHERE levenshtein(a.nm, b.nm) <= 3
     """,
-    tags=("dedup", "ngram", "jaccard"),
+    tags=("dedup", "ngram", "jaccard", "fuzzy"),
 )
 def q37_ngram_jaccard(
     spark: SparkSession, sf_dir: str, bucket_chars: int = 20
 ) -> DataFrame:
-    """Character-4-gram jaccard near-dup pairs, blocked by (source,
-    length-bucket) — the blocking keeps pair counts linear-ish.
+    """Near-dup pair suite, two blocked-join tiers (tier/da/db/metric):
+    'jaccard' — character-4-gram jaccard over documents, blocked by
+    (source, length-bucket); 'editdist' — Levenshtein fuzzy join over part
+    names, blocked by name prefix (operators/dedup.fuzzy_pairs — the
+    entity-resolution primitive). Neither tier is ever all-pairs.
 
     ``bucket_chars`` is the blocking-width lever: bucket = n_chars //
     bucket_chars, so WIDER buckets admit more cross-doc filler pairs
@@ -464,10 +482,39 @@ def q37_ngram_jaccard(
     arr_b = garr.select(F.col("doc_id").alias("db"), F.col("garr").alias("arr_b"))
     ni = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
     jac = F.round(ni / (F.col("ca") + F.col("cb") - ni), 6)
-    return (
+    jrows = (
         F.broadcast(pairs)
         .join(arr_a, "da")
         .join(arr_b, "db")
-        .select("da", "db", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.3)
+        .select(F.lit("jaccard").alias("tier"), "da", "db", jac.alias("metric"))
+        .filter(F.col("metric") >= 0.3)
     )
+
+    # tier 'editdist' — blocked Levenshtein fuzzy join over part names
+    # (operators/dedup.fuzzy_pairs): prefix-block equi-join, never
+    # all-pairs; every 10th name gets a char-dropped variant so the
+    # detection is exercised end-to-end (oracle replays the augmentation).
+    from minarrow_spark.operators.dedup import fuzzy_pairs
+
+    p = T(spark, sf_dir, "part")
+    # canonicalize first (min id per distinct name): the synthetic part
+    # table repeats names heavily; fuzzy-matching raw rows would emit
+    # tens of thousands of distance-0 pairs of literally equal strings
+    base = p.groupBy("p_name").agg(F.min("p_partkey").alias("k")).select(
+        "k", F.col("p_name").alias("nm")
+    )
+    pn = base.unionByName(
+        base.filter(F.col("k") % 10 == 0).select(
+            (F.col("k") + 1000000).alias("k"),
+            F.concat(
+                F.substring("nm", 1, 5), F.expr("substring(nm, 7, 1000000)")
+            ).alias("nm"),
+        )
+    )
+    frows = fuzzy_pairs(pn, "k", "nm", prefix_len=4, max_dist=3).select(
+        F.lit("editdist").alias("tier"),
+        F.col("da"),
+        F.col("db"),
+        F.col("dist").alias("metric"),
+    )
+    return jrows.unionByName(frows)

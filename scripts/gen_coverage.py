@@ -101,6 +101,7 @@ def main() -> None:
         ("k-means clustering + balanced sampling", "clustering"),
         ("exact-gramian PCA (power iteration, bit-checked cross-engine)", "pca"),
         ("BPE vocabulary training (histogram shuffle + replayed merge loop)", "bpe"),
+        ("fuzzy (edit-distance) entity-resolution join, prefix-blocked", "fuzzy"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})

@@ -61,3 +61,24 @@ def test_asof_join_empty_right(spark, sf_dir):
     # left-outer as-of: every left row survives with null payload
     assert out.count() == left.count()
     assert out.filter(F.col("asof_rid").isNotNull()).count() == 0
+
+
+def test_fuzzy_pairs_blocked_join(spark):
+    """Blocked Levenshtein join: in-block near matches found, out-of-block
+    (different prefix) pairs never compared, threshold respected."""
+    from minarrow_spark.operators.dedup import fuzzy_pairs
+
+    names = spark.createDataFrame(
+        [
+            (1, "golden lamp"),
+            (2, "golden lamb"),   # dist 1, same prefix → pair
+            (3, "golden stamp"),  # dist 2 vs #1 (sub l→t, insert s)
+            (4, "olden lamp"),    # dist 1 vs #1 but different 4-prefix → missed
+            (5, "green lamp"),
+        ],
+        "k long, nm string",
+    )
+    got = {(r["da"], r["db"]): r["dist"] for r in fuzzy_pairs(names).collect()}
+    assert got == {(1, 2): 1.0, (1, 3): 2.0, (2, 3): 3.0}
+    plan = fuzzy_pairs(names)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
