@@ -27,6 +27,7 @@ Module map:
 
 from minarrow_spark.registry import all_queries
 from minarrow_spark.session import get_spark
+from minarrow_spark.table import MinTable
 from minarrow_spark.sources.arrow_io import (
     arrow_batches,
     from_arrow,
@@ -38,6 +39,7 @@ from minarrow_spark.sources.arrow_io import (
 from minarrow_spark.sources.catalog import load_table, load_tables, register_views
 
 __all__ = [
+    "MinTable",
     "all_queries",
     "arrow_batches",
     "from_arrow",
