@@ -115,3 +115,71 @@ def dedup_clusters(pairs: DataFrame, da: str = "da", db: str = "db") -> DataFram
         F.col("component").alias("keep_id"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED graph of ``edges``,
+    with exact scaled-long rank arithmetic — deterministic under any
+    partitioning AND replayable in SQL (the q36 'pagerank' tier).
+
+    Semantics contract (mirrored by the DuckDB oracle expression for
+    expression): ranks are integers r = round(rank × scale); each round,
+    every node sends round(damping · r / degree) along each incident edge
+    (per-edge rounding BEFORE the sum, so the aggregate is an exact
+    integer sum — order-free), and receives base = round((1−damping) ·
+    scale / N) plus its incoming contributions. Degrees count symmetrized
+    incident edges, so a symmetric graph has no dangling nodes.
+
+    Scale shape — the standard BSP loop: per round ONE join of the edge
+    table (partitioned on the sender key, stable across rounds) against
+    the 2-column rank table, one map-side-combined groupBy on the
+    receiver, lineage cut by a GC-scoped checkpoint (same rationale as
+    `connected_components`). Returns (id, rank_scaled, degree).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).localCheckpoint(
+        eager=False
+    )
+    n = deg.count()  # O(V) scalar — the only driver-side value
+    base = F.lit(float((1.0 - damping) * scale))  # numerator; /N in-plan
+    r0 = F.round(F.lit(float(scale)) / F.lit(n)).cast("long")
+    ranks = deg.select(F.col("u").alias("id"), r0.alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("id"),
+                F.round(F.lit(damping) * F.col("r") / F.col("dg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            deg.select(F.col("u").alias("id"))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.round(base / F.lit(n)).cast("long")
+                    + F.coalesce(F.col("c"), F.lit(0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg.withColumnRenamed("u", "id"), "id").select(
+        "id", F.col("r").alias("rank_scaled"), F.col("dg").alias("degree")
+    )

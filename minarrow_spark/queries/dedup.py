@@ -240,6 +240,40 @@ def _simhash_votes(src: str, bits: int) -> str:
     """
 
 
+_PR_ITERS, _PR_DAMP, _PR_SCALE = 3, 0.85, 1_000_000_000
+
+
+def _pagerank_ctes() -> str:
+    """q36 'pagerank' tier replay: the operators/graph.pagerank integer
+    contract over the dedup graph's symmetrized edges (`sym`/`verts` CTEs)
+    — per-edge rounding before exact long sums, literals emitted via repr
+    so both engines parse the identical doubles."""
+    damp = repr(_PR_DAMP)
+    base = repr(float((1.0 - _PR_DAMP) * _PR_SCALE))
+    ctes = [
+        "pdeg AS (SELECT u, COUNT(*) AS dg FROM sym GROUP BY u)",
+        # count pdeg, not verts: the verts CTE keeps duplicates (UNION
+        # dedup is not guaranteed mid-recursive-WITH; harmless for the
+        # closure, wrong for N) — pdeg rows == Spark's deg.count()
+        "pnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pdeg)",
+        f"ppr0 AS (SELECT u AS id, CAST(round({float(_PR_SCALE)!r} / n) AS BIGINT)"
+        " AS r FROM pdeg, pnn)",
+    ]
+    for t in range(_PR_ITERS):
+        ctes.append(
+            f"pct{t} AS (SELECT s.v AS id, "
+            f"SUM(CAST(round({damp} * pr.r / d.dg) AS BIGINT)) AS c "
+            f"FROM sym s JOIN ppr{t} pr ON pr.id = s.u "
+            f"JOIN pdeg d ON d.u = s.u GROUP BY s.v)"
+        )
+        ctes.append(
+            f"ppr{t + 1} AS (SELECT d.u AS id, "
+            f"CAST(round({base} / n) AS BIGINT) + COALESCE(c.c, 0) AS r "
+            f"FROM pdeg d CROSS JOIN pnn LEFT JOIN pct{t} c ON c.id = d.u)"
+        )
+    return ", ".join(ctes)
+
+
 def _simhash_oracle() -> str:
     return f"""
     WITH RECURSIVE
@@ -281,21 +315,25 @@ def _simhash_oracle() -> str:
       UNION
       SELECT s.v AS id, reach.r FROM reach JOIN sym s ON s.u = reach.id
     ),
-    comp AS (SELECT id, MIN(r) AS keep FROM reach GROUP BY id)
+    comp AS (SELECT id, MIN(r) AS keep FROM reach GROUP BY id),
+    {_pagerank_ctes()}
     SELECT 'hash' AS tier, doc_id, simhash AS val, CAST(0 AS BIGINT) AS aux
     FROM sig16
     UNION ALL
     SELECT 'clusters', id, keep, CAST(id = keep AS BIGINT) FROM comp
+    UNION ALL
+    SELECT 'pagerank', d.u, p.r, d.dg
+    FROM ppr{_PR_ITERS} p JOIN pdeg d ON d.u = p.id
     """
 
 
 @query(
     "q36_simhash",
     oracle=_simhash_oracle(),
-    tags=("dedup", "simhash", "graph", "clusters"),
+    tags=("dedup", "simhash", "graph", "clusters", "pagerank"),
 )
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup suite, pairs-to-CLUSTERS end-to-end:
+    """SimHash dedup suite, pairs-to-CLUSTERS-to-CENTRALITY end-to-end:
 
     * tier 'hash' — 16-bit SimHash fingerprint per raw document
       (term-frequency-weighted bit majority vote over token md5 nibbles).
@@ -309,6 +347,11 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       the iterative Spark fixpoint is hash-checked against an
       independently-shaped exact algorithm — the strongest check in the
       dedup family.
+    * tier 'pagerank' — fixed-iteration PageRank over the same dedup graph
+      (operators/graph.pagerank): exact scaled-long ranks with per-edge
+      rounding before order-free integer sums, every BSP round replayed by
+      generated DuckDB CTEs — an iterative distributed graph algorithm
+      hash-checked rank-for-rank.
 
     Scale shape: signatures are one explode + one map-side-combined
     groupBy; band rows are integer triples through the self-join (the
@@ -326,7 +369,11 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = augment_with_near_dups(d)
     sig = simhash(corpus, bits=32)
+    # eager checkpoint: both the components fixpoint and the pagerank loop
+    # consume the banded self-join — concurrent first touch would run it
+    # twice (the q35 rule)
     edges = simhash_hamming_pairs(sig, bits=32, bands=4, max_hamming=3)
+    edges = edges.localCheckpoint(eager=True)
     clusters = dedup_clusters(edges)
     cl = clusters.select(
         F.lit("clusters").alias("tier"),
@@ -334,7 +381,22 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("val"),
         F.col("is_keeper").cast("bigint").alias("aux"),
     )
-    return hash16.unionByName(cl)
+
+    # tier 'pagerank' — centrality over the SAME dedup graph (which docs
+    # anchor the near-dup neighborhoods): fixed-iteration BSP loop with
+    # exact scaled-long ranks (operators/graph.pagerank); the oracle
+    # replays every round (_pagerank_ctes)
+    from minarrow_spark.operators.graph import pagerank
+
+    pr = pagerank(edges, src="da", dst="db", iters=_PR_ITERS,
+                  damping=_PR_DAMP, scale=_PR_SCALE)
+    prt = pr.select(
+        F.lit("pagerank").alias("tier"),
+        F.col("id").alias("doc_id"),
+        F.col("rank_scaled").alias("val"),
+        F.col("degree").cast("bigint").alias("aux"),
+    )
+    return hash16.unionByName(cl).unionByName(prt)
 
 
 @query(

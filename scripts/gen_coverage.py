@@ -102,6 +102,7 @@ def main() -> None:
         ("exact-gramian PCA (power iteration, bit-checked cross-engine)", "pca"),
         ("BPE vocabulary training (histogram shuffle + replayed merge loop)", "bpe"),
         ("fuzzy (edit-distance) entity-resolution join, prefix-blocked", "fuzzy"),
+        ("PageRank (BSP loop, exact scaled-long ranks, replayed per round)", "pagerank"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})

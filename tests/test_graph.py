@@ -97,3 +97,33 @@ def test_dedup_clusters_from_minhash_pairs(spark, sf_dir):
         assert is_keeper == (doc_id == keep_id)
         if doc_id >= 100_000:  # synthetic variant: base doc is in-cluster
             assert keep_id <= doc_id - 100_000
+
+
+def test_pagerank_star_graph_and_determinism(spark):
+    """Hand-checkable star: the hub receives every spoke's full damped
+    rank; results are bit-identical under repartitioning (exact longs),
+    and total mass stays ≈ scale (lost only to per-edge rounding)."""
+    from minarrow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    pr = {r["id"]: (r["rank_scaled"], r["degree"]) for r in pagerank(edges).collect()}
+    assert pr[0][1] == 4 and all(pr[i][1] == 1 for i in range(1, 5))
+    assert pr[0][0] > pr[1][0]  # hub dominates
+    assert pr[1] == pr[2] == pr[3] == pr[4]  # spokes symmetric
+    total = sum(v for v, _ in pr.values())
+    assert abs(total - 1_000_000_000) < 100  # mass preserved mod rounding
+    pr2 = {
+        r["id"]: (r["rank_scaled"], r["degree"])
+        for r in pagerank(edges.repartition(7)).collect()
+    }
+    assert pr == pr2  # exact integer arithmetic → partition-invariant
+    # replicate round 1 by hand: spokes send round(.85 * r0 / 1) to hub,
+    # hub sends round(.85 * r0 / 4) to each spoke; base = round(.15e9 / 5)
+    r0 = round(1_000_000_000.0 / 5)
+    base = round(150000000.00000003 / 5)
+    hub1 = base + 4 * round(0.85 * r0 / 1)
+    spoke1 = base + round(0.85 * r0 / 4)
+    pr_1 = {r["id"]: r["rank_scaled"] for r in pagerank(edges, iters=1).collect()}
+    assert pr_1[0] == hub1 and pr_1[1] == spoke1
