@@ -1,0 +1,84 @@
+"""Time-series regularization: gap-filling a sparse series onto a regular
+bucket grid with LOCF (last observation carried forward) and linear
+interpolation — the hypertable-analytics companion to the as-of join
+(`operators/joins.asof_join`). TimescaleDB's `time_bucket_gapfill` +
+`locf()`/`interpolate()` re-expressed Spark-first.
+
+Scale shape: the spine is buckets × keys — TIME-RANGE-sized, not
+row-count-sized (a year of minutes × 10k series ≈ 5e9 tiny rows; at finer
+grids, bound the span or partition it). One left join onto the spine and
+ONE window shuffle partitioned by series key compute both fills; every
+expression is per-row IEEE double math, so a SQL engine replays it
+bit-for-bit after 6-digit rounding (q48 'gapfill' tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def gapfill(
+    present: DataFrame,
+    bucket_col: str = "b",
+    key_col: str = "k",
+    val_col: str = "v",
+    step: int = 600,
+    digits: int = 6,
+) -> DataFrame:
+    """Fill a sparse (bucket, key, val) series onto the full regular grid
+    spanning [min(bucket), max(bucket)] per ``step``, for every distinct
+    key. Returns one row per grid cell: (bucket, key, present-or-null val,
+    locf, lerp) where
+
+    * ``locf`` — last non-null value at-or-before the cell (null before
+      the first observation);
+    * ``lerp`` — linear interpolation between the neighboring
+      observations, rounded to ``digits`` (falls back to the available
+      side at the series edges).
+    """
+    span = present.agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    spine = (
+        span.select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(step))
+            ).alias(bucket_col)
+        )
+        .crossJoin(present.select(key_col).distinct())
+    )
+    j = spine.join(present, [bucket_col, key_col], "left")
+    wp = (
+        W.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    v = F.col(val_col)
+    obs_b = F.when(v.isNotNull(), F.col(bucket_col))
+    out = (
+        j.withColumn("locf", F.last(v, ignorenulls=True).over(wp))
+        .withColumn("_pb", F.last(obs_b, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first(v, ignorenulls=True).over(wf))
+        .withColumn("_nb", F.first(obs_b, ignorenulls=True).over(wf))
+    )
+    lerp = (
+        F.when(v.isNotNull(), v)
+        .when(F.col("locf").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("locf"))
+        .otherwise(
+            F.round(
+                F.col("locf")
+                + (F.col("_nv") - F.col("locf"))
+                * (F.col(bucket_col) - F.col("_pb"))
+                / (F.col("_nb") - F.col("_pb")),
+                digits,
+            )
+        )
+    )
+    return out.withColumn("lerp", lerp).drop("_pb", "_nv", "_nb")

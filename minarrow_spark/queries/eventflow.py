@@ -238,19 +238,66 @@ def q47_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases AS (
       SELECT event_id AS p_event_id, user_id, ts, value AS p_value
       FROM events WHERE event_type = 'purchase'
+    ),
+    gpresent AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600 AS b,
+             event_type AS k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS v
+      FROM events WHERE value >= 199 GROUP BY 1, 2
+    ),
+    gspan AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM gpresent),
+    gspine AS (
+      SELECT unnest(generate_series(lo, hi, 600)) AS b, k.k
+      FROM gspan, (SELECT DISTINCT k FROM gpresent) k
+    ),
+    gfill AS (
+      SELECT s.b, s.k, COALESCE(p.n, 0) AS n, p.v,
+             LAST_VALUE(p.v IGNORE NULLS) OVER
+               (PARTITION BY s.k ORDER BY s.b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+             LAST_VALUE(CASE WHEN p.v IS NOT NULL THEN s.b END IGNORE NULLS)
+               OVER (PARTITION BY s.k ORDER BY s.b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             FIRST_VALUE(p.v IGNORE NULLS) OVER
+               (PARTITION BY s.k ORDER BY s.b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN p.v IS NOT NULL THEN s.b END IGNORE NULLS)
+               OVER (PARTITION BY s.k ORDER BY s.b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM gspine s LEFT JOIN gpresent p ON p.b = s.b AND p.k = s.k
     )
-    SELECT c.event_id, c.user_id,
-           p.p_event_id AS asof_event_id,
-           p.p_value AS asof_value
+    SELECT 'asof' AS tier, c.event_id AS k1, CAST(c.user_id AS VARCHAR) AS k2,
+           CAST(0 AS BIGINT) AS n,
+           CAST(p.p_event_id AS DOUBLE) AS v1, p.p_value AS v2
     FROM clicks c
     ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.ts >= p.ts
+    UNION ALL
+    SELECT 'gapfill', b, k, n, locf,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN locf IS NULL THEN nv
+                WHEN nv IS NULL THEN locf
+                ELSE round(locf + (nv - locf) * (b - pb) / (nb - pb), 6)
+           END
+    FROM gfill
     """,
-    tags=("J7", "asof"),
+    tags=("J7", "asof", "gapfill"),
 )
 def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (J7): for each click, the latest purchase at-or-before it
-    per user — union + last-observation window (one shuffle, no Python)."""
+    """Time-series alignment suite, two tiers (tier/k1/k2/n/v1/v2):
+
+    * tier 'asof' — as-of join (J7): for each click, the latest purchase
+      at-or-before it per user — union + last-observation window (one
+      shuffle, no Python).
+    * tier 'gapfill' — hypertable-style regularization
+      (operators/timeseries.gapfill): sparse high-value observations
+      (value ≥ 199) bucketed to a 10-minute grid, missing cells filled
+      with LOCF (v1) and linear interpolation (v2) — TimescaleDB's
+      `time_bucket_gapfill + locf + interpolate` semantics, one spine
+      join + one key-partitioned window shuffle, every fill expression
+      per-row IEEE math the DuckDB twin replays exactly.
+    """
     e = T(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -271,9 +318,35 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         allow_exact=True,
         tiebreak="p_event_id",  # unique right id → deterministic under ts ties
     )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.col("asof_p_event_id").alias("asof_event_id"),
-        F.col("asof_p_value").alias("asof_value"),
+    asof_rows = joined.select(
+        F.lit("asof").alias("tier"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").cast("string").alias("k2"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.col("asof_p_event_id").cast("double").alias("v1"),
+        F.col("asof_p_value").alias("v2"),
     )
+
+    from minarrow_spark.operators.timeseries import gapfill
+
+    present = (
+        e.filter(F.col("value") >= 199)
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 600) * 600).alias("b"),
+            F.col("event_type").alias("k"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("value")).cast("double"), 6).alias("v"),
+        )
+    )
+    filled = gapfill(present, step=600)
+    gap_rows = filled.select(
+        F.lit("gapfill").alias("tier"),
+        F.col("b").alias("k1"),
+        F.col("k").alias("k2"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.col("locf").alias("v1"),
+        F.col("lerp").alias("v2"),
+    )
+    return asof_rows.unionByName(gap_rows)

@@ -103,6 +103,7 @@ def main() -> None:
         ("BPE vocabulary training (histogram shuffle + replayed merge loop)", "bpe"),
         ("fuzzy (edit-distance) entity-resolution join, prefix-blocked", "fuzzy"),
         ("PageRank (BSP loop, exact scaled-long ranks, replayed per round)", "pagerank"),
+        ("time-series gapfill (grid spine + LOCF + linear interpolation)", "gapfill"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})

@@ -82,3 +82,28 @@ def test_fuzzy_pairs_blocked_join(spark):
     assert got == {(1, 2): 1.0, (1, 3): 2.0, (2, 3): 3.0}
     plan = fuzzy_pairs(names)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_gapfill_locf_and_lerp(spark):
+    """Grid completion + LOCF + linear interpolation, incl. series edges:
+    leading gaps take the next observation, trailing gaps carry forward."""
+    from minarrow_spark.operators.timeseries import gapfill
+
+    present = spark.createDataFrame(
+        [(100, "a", 1, 10.0), (130, "a", 2, 40.0), (110, "b", 1, 5.0)],
+        "b long, k string, n long, v double",
+    )
+    out = {
+        (r["b"], r["k"]): (r["v"], r["locf"], r["lerp"])
+        for r in gapfill(present, step=10).collect()
+    }
+    # global span [100, 130] × {a, b} = 8 cells
+    assert len(out) == 8
+    assert out[(100, "a")] == (10.0, 10.0, 10.0)
+    assert out[(110, "a")] == (None, 10.0, 20.0)   # 1/3 of the way 10→40
+    assert out[(120, "a")] == (None, 10.0, 30.0)
+    assert out[(130, "a")] == (40.0, 40.0, 40.0)
+    assert out[(100, "b")] == (None, None, 5.0)    # leading gap → next obs
+    assert out[(110, "b")] == (5.0, 5.0, 5.0)
+    assert out[(120, "b")] == (None, 5.0, 5.0)     # trailing gap → LOCF
+    assert out[(130, "b")] == (None, 5.0, 5.0)
