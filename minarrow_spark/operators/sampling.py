@@ -128,3 +128,45 @@ def epoch_shuffle(
         .sortWithinPartitions("__eo")
         .drop("__eo")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted random sample WITHOUT replacement of size
+    ``k`` — Efraimidis–Spirakis A-ES with the hash-uniform trick: each row
+    draws u = uniform(key-hash) ∈ (0, 1] and scores priority
+    ln(u) / w (the monotone form of u^(1/w)); the k HIGHEST priorities are
+    an exact weighted sample (inclusion ∝ weight, heavier rows win their
+    "coin flips" more often). The training-data use: sample documents
+    proportional to quality/importance scores, reproducibly.
+
+    Determinism: u is a pure function of (salt, key); ln rounds per value
+    to ``digits`` (house transcendental contract) before ranking; ties
+    break on key. Top-k plans as TakeOrderedAndProject — per-partition
+    heads then a k-row merge, no global sort, no RNG state; the same
+    expression replays in any SQL engine (cross-checked against DuckDB in
+    tests/test_sampling.py).
+
+    Weights must be strictly positive; null/non-positive weights raise at
+    runtime via an ANSI-style filter contract (rows with w <= 0 are
+    dropped before ranking, documented rather than silent: a zero-weight
+    row can never be sampled under A-ES).
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (
+        F.conv(hash_key(F.col(key), salt), 16, 10).cast("double") + 1.0
+    ) / float(16**_HEX_CHARS)
+    prio = F.round(F.log(u) / w, digits)
+    return (
+        df.filter(w > 0)
+        .withColumn("__prio", prio)
+        .orderBy(F.col("__prio").desc(), F.col(key))
+        .limit(k)
+        .drop("__prio")
+    )

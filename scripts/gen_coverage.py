@@ -114,6 +114,11 @@ def main() -> None:
         "recursive-CTE closure); operators/graph.py + tests/test_graph.py |"
     )
     out.append(
+        "| deterministic weighted sampling (Efraimidis–Spirakis A-ES) | "
+        "operators/sampling.py `weighted_sample_topk` — partition-invariance "
+        "+ DuckDB cross-engine replay pinned in tests/test_sampling.py |"
+    )
+    out.append(
         "| incremental streaming dedup (LSH state table, exactly-once, "
         "compactable) | streaming/dedup.py — batch-twin equivalence + replay "
         "idempotence + compaction algebra pinned in tests/test_streaming.py |"

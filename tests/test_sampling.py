@@ -97,3 +97,43 @@ def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark, sf_dir):
     assert e1a == e1b                      # partition-layout independent
     assert e1a != e2                       # epochs reshuffle
     assert sorted(e1a) == sorted(e2)       # same rows, only order moves
+
+
+def test_weighted_sample_topk_deterministic_and_cross_engine(spark):
+    """A-ES weighted sampling: bit-identical across partitionings, heavier
+    keys oversampled, and the exact same k rows as an independent DuckDB
+    replay of the priority expression."""
+    import duckdb
+
+    from minarrow_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, float(1 + (i % 10))) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = sorted(r["k"] for r in weighted_sample_topk(df, "k", "w", 100).collect())
+    got2 = sorted(
+        r["k"]
+        for r in weighted_sample_topk(df.repartition(13), "k", "w", 100).collect()
+    )
+    assert got == got2  # partition-invariant
+    # heavier weights are overrepresented: mean weight of the sample must
+    # exceed the population mean (5.5) decisively
+    wmap = dict(rows)
+    assert sum(wmap[k] for k in got) / 100 > 6.5
+    # independent cross-engine replay (same md5-uniform, same rounding)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT k FROM t
+            ORDER BY round(ln((CAST(CAST(
+                     ('0x' || substr(md5('|' || CAST(k AS VARCHAR)), 1, 8))
+                     AS UBIGINT) AS DOUBLE) + 1.0) / 4294967296.0) / w, 6)
+                     DESC, k
+            LIMIT 100
+            """
+        ).fetchall()
+    )
+    assert got == want
