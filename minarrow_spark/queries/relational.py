@@ -284,14 +284,26 @@ def q05_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND o.o_totalprice > 100000)
     GROUP BY c_mktsegment
     """,
-    tags=("J3",),
+    tags=("J3", "bloom"),
 )
 def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with at least one large order (left-semi = EXISTS)."""
+    """Customers with at least one large order (left-semi = EXISTS), with
+    Bloom scan pruning (operators/bloom.py): the qualifying order keys
+    aggregate into a 2 KB filter (map-side combined, model state) that
+    drops non-matching customers AT THE SCAN, before the join shuffle —
+    the exact semi-join then removes the false positives, so results are
+    identical to the plain semi-join (oracle unchanged) while the shuffle
+    carries only plausible matches. At 100 TB this is the explicit form of
+    runtime row filtering: MB-scale sketch vs shuffling the whole probe
+    side."""
+    from minarrow_spark.operators.bloom import bloom_build, bloom_might_contain
+
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    words = bloom_build(o.select("o_custkey"), "o_custkey")
+    pruned = c.filter(bloom_might_contain(F.col("c_custkey"), words))
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        pruned.join(o, pruned.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )

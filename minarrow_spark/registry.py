@@ -22,6 +22,12 @@ Determinism rules used throughout (see tests/test_oracle.py):
   IEEE 754 ops) and need no rounding.
 * Bit/bucket keys fold as integers with commutative ops — e.g. q39b's LSH
   band key `sum(bit << plane_pos)` — not as ordered string concatenation.
+* Iterative algorithms hash-check by replaying every round in generated
+  CTEs with integer state: k-means scaled-long centroids (q52), PageRank
+  per-edge-rounded long ranks (q36), BPE merges with total-order
+  tie-breaks (q30), power-iteration IEEE chains on exact moments < 2⁵³
+  (q52 'pca'). Single-row scalar CTE chains MUST be `AS MATERIALIZED` in
+  DuckDB — inlining grows exponentially with iteration count.
 * Output columns are canonical types only: BIGINT, DOUBLE, VARCHAR,
   BOOLEAN — never raw timestamps/decimals (cross-engine hashing hazards).
 * Any ORDER BY used for ranking/top-k carries a unique tie-break key.

@@ -104,6 +104,7 @@ def main() -> None:
         ("fuzzy (edit-distance) entity-resolution join, prefix-blocked", "fuzzy"),
         ("PageRank (BSP loop, exact scaled-long ranks, replayed per round)", "pagerank"),
         ("time-series gapfill (grid spine + LOCF + linear interpolation)", "gapfill"),
+        ("Bloom semi-join scan pruning (engine-portable md5 filter)", "bloom"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
