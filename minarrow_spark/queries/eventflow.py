@@ -60,7 +60,18 @@ def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(CAST(e.ts AS TIMESTAMP)) AS ep,
              e.value
       FROM events e CROSS JOIN hops h
-    )
+    ),
+    cud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events
+    ),
+    cfirst AS (SELECT user_id, MIN(d) AS c FROM cud GROUP BY user_id),
+    cret AS (
+      SELECT f.c, a.d - f.c AS k, COUNT(*) AS n
+      FROM cud a JOIN cfirst f USING (user_id) GROUP BY 1, 2
+    ),
+    csz AS (SELECT c, COUNT(*) AS sz FROM cfirst GROUP BY c)
     SELECT 'hop' AS tier, window_start, '' AS event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -79,11 +90,18 @@ def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS approx_users_ok
     FROM events
     GROUP BY 2, 3
+    UNION ALL
+    SELECT 'cohort', CAST(r.c * 86400 AS BIGINT),
+           'd' || lpad(CAST(r.k AS VARCHAR), 3, '0'),
+           CAST(r.n AS BIGINT),
+           round(CAST(r.n AS DOUBLE) / s.sz, 6),
+           TRUE
+    FROM cret r JOIN csz s ON s.c = r.c
     """,
-    tags=("ST4", "ST1", "ST3", "streaming", "window", "rollup"),
+    tags=("ST4", "ST1", "ST3", "streaming", "window", "rollup", "cohort"),
 )
 def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time window suite, two tiers:
+    """Event-time window suite, three tiers:
 
     * tier 'hop' — sliding 30-min windows every 10 min (each event lands in
       3 windows; F.window hop spec).
@@ -98,6 +116,10 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       one-shot aggregate over raw events — equality PROVES the
       partial/merge algebra (exact scaled-long cents) is lossless under
       batch splits, restarts (idempotent overwrite), and compaction.
+    * tier 'cohort' — retention analysis: users cohorted by first-seen
+      day; per (cohort, day-offset) cell, the distinct retained users and
+      the retention rate (rounded 6) — the standard product-analytics
+      cut, two map-side-combined aggregates + one broadcast size join.
 
     Scale shape: the hop tier is one map-side-combined shuffle; the rollup
     tier's serving read scans rollup-cardinality rows (windows × types),
@@ -165,7 +187,28 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_users_ok"),
         )
     )
-    return hop.unionByName(roll)
+    # tier 'cohort' — retention analysis: users cohorted by first-seen day,
+    # retained-count and retention-rate per day offset. Two
+    # map-side-combined aggregates + one broadcastable cohort-size join —
+    # output is cohorts × offsets (time-range², not row-count) at any scale.
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    ud = e.select("user_id", day.alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("c"))
+    ret = (
+        ud.join(first, "user_id")
+        .groupBy("c", (F.col("d") - F.col("c")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    size = first.groupBy("c").agg(F.count(F.lit(1)).alias("sz"))
+    cohort = ret.join(F.broadcast(size), "c").select(
+        F.lit("cohort").alias("tier"),
+        (F.col("c") * 86400).cast("bigint").alias("window_start"),
+        F.format_string("d%03d", F.col("k").cast("int")).alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("sz"), 6).alias("total_value"),
+        F.lit(True).alias("approx_users_ok"),
+    )
+    return hop.unionByName(roll).unionByName(cohort)
 
 
 @query(

@@ -105,6 +105,7 @@ def main() -> None:
         ("PageRank (BSP loop, exact scaled-long ranks, replayed per round)", "pagerank"),
         ("time-series gapfill (grid spine + LOCF + linear interpolation)", "gapfill"),
         ("Bloom semi-join scan pruning (engine-portable md5 filter)", "bloom"),
+        ("cohort retention analysis (first-seen cohorts × day offsets)", "cohort"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
