@@ -86,32 +86,112 @@ def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q11_window_lag",
     oracle="""
-    SELECT event_id, user_id,
+    WITH fr AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f1 AS (
+      SELECT user_id, d, MIN(rn) AS p1 FROM fr
+      WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    f2 AS (
+      SELECT r.user_id, r.d, MIN(r.rn) AS p2
+      FROM fr r JOIN f1 ON f1.user_id = r.user_id AND f1.d = r.d
+      WHERE r.event_type = 'click' AND r.rn > f1.p1 GROUP BY 1, 2
+    ),
+    f3 AS (
+      SELECT r.user_id, r.d, MIN(r.rn) AS p3
+      FROM fr r JOIN f2 ON f2.user_id = r.user_id AND f2.d = r.d
+      WHERE r.event_type = 'purchase' AND r.rn > f2.p2 GROUP BY 1, 2
+    )
+    SELECT 'lag' AS tier, event_id AS k1, user_id AS k2,
            CAST(epoch_us(CAST(ts AS TIMESTAMP))
                 - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
-             AS gap_us,
+             AS v,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS prev_type,
+             AS s1,
            FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS first_type
+             AS s2
     FROM events
+    UNION ALL
+    SELECT 'funnel', 1, 0, (SELECT COUNT(*) FROM f1), 'view', ''
+    UNION ALL
+    SELECT 'funnel', 2, 0, (SELECT COUNT(*) FROM f2), 'click', ''
+    UNION ALL
+    SELECT 'funnel', 3, 0, (SELECT COUNT(*) FROM f3), 'purchase', ''
     """,
-    tags=("W2",),
+    tags=("W2", "funnel"),
 )
 def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event gaps via lag + first_value (W2). Timestamps are reduced
-    to epoch µs (Spark truncates parquet ns→µs; the oracle casts to match)."""
+    """Analytic-window suite over events, two tiers (tier/k1/k2/v/s1/s2):
+
+    * tier 'lag' — per-user event gaps via lag + first_value (W2).
+      Timestamps reduce to epoch µs (Spark truncates parquet ns→µs; the
+      oracle casts to match).
+    * tier 'funnel' — ORDERED event-pattern matching (the product-analytics
+      funnel): per user-day, the first 'view', the first 'click' strictly
+      AFTER it, and the first 'purchase' strictly after that — counting
+      user-days that reach each step. One row_number window (same shuffle
+      key as the lag tier) and three min-aggregations with join-backs; at
+      100 TB the funnel tables are user-day-sized, each level strictly
+      smaller, and every join key is (user_id, day) — co-partitioned with
+      the window's own exchange.
+    """
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ep = epoch_micros(F.col("ts"))
-    return e.select(
-        "event_id",
-        "user_id",
-        (ep - F.lag(ep).over(w)).cast("bigint").alias("gap_us"),
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.first("event_type").over(w).alias("first_type"),
+    lag_rows = e.select(
+        F.lit("lag").alias("tier"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        (ep - F.lag(ep).over(w)).cast("bigint").alias("v"),
+        F.lag("event_type").over(w).alias("s1"),
+        F.first("event_type").over(w).alias("s2"),
     )
+
+    day = F.floor(ep / 86_400_000_000).cast("long")
+    wd = W.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    fr = e.select(
+        "user_id", day.alias("d"), "event_type", "ts", "event_id"
+    ).withColumn("rn", F.row_number().over(wd))
+    f1 = (
+        fr.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "d")
+        .agg(F.min("rn").alias("p1"))
+    )
+    f2 = (
+        fr.filter(F.col("event_type") == "click")
+        .join(f1, ["user_id", "d"])
+        .filter(F.col("rn") > F.col("p1"))
+        .groupBy("user_id", "d")
+        .agg(F.min("rn").alias("p2"))
+    )
+    f3 = (
+        fr.filter(F.col("event_type") == "purchase")
+        .join(f2, ["user_id", "d"])
+        .filter(F.col("rn") > F.col("p2"))
+        .groupBy("user_id", "d")
+        .agg(F.min("rn").alias("p3"))
+    )
+    steps = [(1, "view", f1), (2, "click", f2), (3, "purchase", f3)]
+    funnel = None
+    for i, name, fd in steps:
+        row = fd.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit("funnel").alias("tier"),
+            F.lit(i).cast("bigint").alias("k1"),
+            F.lit(0).cast("bigint").alias("k2"),
+            F.col("v").cast("bigint").alias("v"),
+            F.lit(name).alias("s1"),
+            F.lit("").alias("s2"),
+        )
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return lag_rows.unionByName(funnel)
 
 
 @query(

@@ -106,6 +106,7 @@ def main() -> None:
         ("time-series gapfill (grid spine + LOCF + linear interpolation)", "gapfill"),
         ("Bloom semi-join scan pruning (engine-portable md5 filter)", "bloom"),
         ("cohort retention analysis (first-seen cohorts × day offsets)", "cohort"),
+        ("ordered-event funnel matching (view→click→purchase)", "funnel"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
