@@ -688,6 +688,50 @@ def _pca_oracle_rows() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _trend_oracle_ctes() -> str:
+    """q52 'trend' tier: per-returnflag OLS of line revenue (whole dollars)
+    against ship-day — slope/intercept/r² from EXACT integer moments, the
+    distributed-regression pattern (one map-side-combined aggregate; the
+    closed-form solve is per-group scalar double math both engines share).
+    All moments stay < 2⁵³ at driver scale, so BIGINT→DOUBLE casts are
+    exact (same bound discipline as the pca tier)."""
+    x = "date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))"
+    y = "CAST(round(l_extendedprice) AS BIGINT)"
+    return f"""
+    tg AS MATERIALIZED (
+      SELECT l_returnflag AS rf,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST({x} AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM({y}) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST({x} AS BIGINT) * {y}) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST({x} AS BIGINT) * CAST({x} AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM({y} * {y}) AS BIGINT) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1
+    ),
+    tsol AS MATERIALIZED (
+      SELECT rf,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             n, sx, sy, sxy, sxx, syy
+      FROM tg
+    )
+    """
+
+
+def _trend_oracle_rows() -> str:
+    return """
+    SELECT 'trend' AS tier, 'rf_' || rf AS var_a, 'slope' AS var_b,
+           slope AS cov FROM tsol
+    UNION ALL
+    SELECT 'trend', 'rf_' || rf, 'intercept', sy / n - slope * (sx / n) FROM tsol
+    UNION ALL
+    SELECT 'trend', 'rf_' || rf, 'r2',
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    FROM tsol
+    """
+
+
 def _cov_oracle() -> str:
     sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
     for c in _MAT_COLS:
@@ -711,16 +755,20 @@ def _cov_oracle() -> str:
         + _km_oracle_ctes()
         + ", "
         + _pca_oracle_ctes()
+        + ", "
+        + _trend_oracle_ctes()
         + " "
         + " UNION ALL ".join(rows)
         + " UNION ALL "
         + _km_oracle_rows()
         + " UNION ALL "
         + _pca_oracle_rows()
+        + " UNION ALL "
+        + _trend_oracle_rows()
     )
 
 
-@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix", "clustering", "pca"))
+@query("q52_cov_matrix", oracle=_cov_oracle(), tags=("matrix", "clustering", "pca", "trend"))
 def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed linear-algebra suite, two tiers:
 
@@ -750,7 +798,12 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       exponential), making even the eigenvector components bit-checkable.
       Projection sums re-enter the cluster as zero-shuffle literal-component
       dots, rounded per value and summed as exact decimal. At 100 TB the
-      distributed cost is ONE scan emitting 45 integer partials."""
+      distributed cost is ONE scan emitting 45 integer partials.
+    * tier 'trend' — distributed OLS regression per returnflag (revenue
+      dollars vs ship-day): slope/intercept/r² solved closed-form from
+      exact integer moments gathered in ONE map-side-combined aggregate —
+      `regr_slope` built-ins sum raw doubles (order-sensitive); the exact
+      moments make the fit deterministic AND cross-engine-checkable."""
     l = T(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _MAT_COLS:
@@ -858,6 +911,50 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.tier", "r.var_a", "r.var_b", "r.cov")
 
+    # tier 'trend' — distributed OLS per returnflag (operator pattern:
+    # exact integer moments via ONE map-side-combined aggregate; the
+    # closed-form slope/intercept/r² solve is per-group scalar double
+    # math both engines share — see _trend_oracle_ctes for the bound
+    # discipline). Whole-dollar y keeps Σy² < 2⁵³ at driver scale.
+    xd = F.datediff(
+        F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+    ).cast("long")
+    yd = F.round(F.col("l_extendedprice")).cast("long")
+    tg = l.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd.cast("decimal(38,0)")).cast("long").cast("double").alias("sx"),
+        F.sum(yd.cast("decimal(38,0)")).cast("long").cast("double").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).cast("long").cast("double").alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).cast("long").cast("double").alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).cast("long").cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    tsol = tg.select(
+        F.concat(F.lit("rf_"), F.col("rf")).alias("var_a"),
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n"))).alias(
+            "intercept"
+        ),
+        (
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        ).alias("r2"),
+    )
+    tr = tsol.select(
+        F.lit("trend").alias("tier"),
+        "var_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("var_b"), F.col(m).alias("cov"))
+                    for m in ("slope", "intercept", "r2")
+                ]
+            )
+        ).alias("m"),
+    ).select("tier", "var_a", "m.var_b", "m.cov")
+
     pick = lambda df: df.select("tier", "var_a", "var_b", "cov")
     return (
         pick(cov)
@@ -866,6 +963,7 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pick(kc))
         .unionByName(pick(pc))
         .unionByName(pick(pjr))
+        .unionByName(pick(tr))
     )
 
 

@@ -107,6 +107,7 @@ def main() -> None:
         ("Bloom semi-join scan pruning (engine-portable md5 filter)", "bloom"),
         ("cohort retention analysis (first-seen cohorts × day offsets)", "cohort"),
         ("ordered-event funnel matching (view→click→purchase)", "funnel"),
+        ("distributed OLS trend (exact-moment closed-form regression)", "trend"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
