@@ -251,7 +251,17 @@ def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
              TRUE AS approx_parts_ok,
              TRUE AS approx_orders_ok,
-             TRUE AS approx_p90_ok
+             TRUE AS approx_p90_ok,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 8 THEN 1 ELSE 0 END) AS BIGINT) AS h8,
+             CAST(SUM(CASE WHEN FLOOR((l_quantity - 1) / 5) = 9 THEN 1 ELSE 0 END) AS BIGINT) AS h9
       FROM lineitem
       GROUP BY l_returnflag
     ),
@@ -350,6 +360,19 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
         F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
         F.percentile_approx("l_quantity", 0.9).alias("_p90a"),
+        # A5/A9 depth: equi-width histogram of quantity (10 buckets of
+        # width 5 over [1, 50]) as conditional sums — fixed-size partials,
+        # map-side combined, the portable form width_bucket lacks in DuckDB
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 0, 1).otherwise(0)).cast("bigint").alias("h0"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 1, 1).otherwise(0)).cast("bigint").alias("h1"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 2, 1).otherwise(0)).cast("bigint").alias("h2"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 3, 1).otherwise(0)).cast("bigint").alias("h3"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 4, 1).otherwise(0)).cast("bigint").alias("h4"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 5, 1).otherwise(0)).cast("bigint").alias("h5"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 6, 1).otherwise(0)).cast("bigint").alias("h6"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 7, 1).otherwise(0)).cast("bigint").alias("h7"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 8, 1).otherwise(0)).cast("bigint").alias("h8"),
+        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 9, 1).otherwise(0)).cast("bigint").alias("h9"),
     )
 
     def exact_distinct(col: str, alias: str):
@@ -426,6 +449,7 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_part",
         "top_part_n",
         "top_part_cms",
+        *[f"h{i}" for i in range(10)],
     )
 
 
