@@ -188,18 +188,23 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # tier 'cohort' — retention analysis: users cohorted by first-seen day,
-    # retained-count and retention-rate per day offset. Two
-    # map-side-combined aggregates + one broadcastable cohort-size join —
-    # output is cohorts × offsets (time-range², not row-count) at any scale.
+    # retained-count and retention-rate per day offset. One linear chain:
+    # distinct user-days → first-seen as a window MIN over the user_id
+    # partition (no self-join) → one map-side-combined (cohort, offset)
+    # count. Cohort size needs no extra pass: every user's first day is a
+    # retained day, so size(c) == the offset-0 cell — the tiny cohort table
+    # is checkpointed (GC-scoped) and its k=0 slice broadcast-joined back.
+    # Output is cohorts × offsets (time-range², not row-count) at any scale.
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
     ud = e.select("user_id", day.alias("d")).distinct()
-    first = ud.groupBy("user_id").agg(F.min("d").alias("c"))
+    wu = W.partitionBy("user_id")
     ret = (
-        ud.join(first, "user_id")
+        ud.withColumn("c", F.min("d").over(wu))
         .groupBy("c", (F.col("d") - F.col("c")).alias("k"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # tiny (cohorts × offsets); 2 branches
     )
-    size = first.groupBy("c").agg(F.count(F.lit(1)).alias("sz"))
+    size = ret.filter(F.col("k") == 0).select("c", F.col("n").alias("sz"))
     cohort = ret.join(F.broadcast(size), "c").select(
         F.lit("cohort").alias("tier"),
         (F.col("c") * 86400).cast("bigint").alias("window_start"),

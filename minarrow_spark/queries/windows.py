@@ -137,11 +137,14 @@ def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     * tier 'funnel' — ORDERED event-pattern matching (the product-analytics
       funnel): per user-day, the first 'view', the first 'click' strictly
       AFTER it, and the first 'purchase' strictly after that — counting
-      user-days that reach each step. One row_number window (same shuffle
-      key as the lag tier) and three min-aggregations with join-backs; at
-      100 TB the funnel tables are user-day-sized, each level strictly
-      smaller, and every join key is (user_id, day) — co-partitioned with
-      the window's own exchange.
+      user-days that reach each step. Computed as DEPENDENT window minima
+      over ONE (user_id, day) partition: p1 = min rn among views, p2 =
+      min rn among clicks with rn > p1, p3 likewise after p2. The three
+      layers stack as Window nodes over the same exchange — events is
+      scanned ONCE and the whole funnel costs one balanced shuffle plus a
+      single-row count; no join-backs, nothing recomputed. (The earlier
+      form joined three per-level aggregates back against the ranked
+      table — 3 extra scans and ~7 extra exchanges for the same rows.)
     """
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -157,40 +160,39 @@ def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     day = F.floor(ep / 86_400_000_000).cast("long")
     wd = W.partitionBy("user_id", "d").orderBy("ts", "event_id")
-    fr = e.select(
-        "user_id", day.alias("d"), "event_type", "ts", "event_id"
-    ).withColumn("rn", F.row_number().over(wd))
-    f1 = (
-        fr.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "d")
-        .agg(F.min("rn").alias("p1"))
-    )
-    f2 = (
-        fr.filter(F.col("event_type") == "click")
-        .join(f1, ["user_id", "d"])
-        .filter(F.col("rn") > F.col("p1"))
-        .groupBy("user_id", "d")
-        .agg(F.min("rn").alias("p2"))
-    )
-    f3 = (
-        fr.filter(F.col("event_type") == "purchase")
-        .join(f2, ["user_id", "d"])
-        .filter(F.col("rn") > F.col("p2"))
-        .groupBy("user_id", "d")
-        .agg(F.min("rn").alias("p3"))
-    )
-    steps = [(1, "view", f1), (2, "click", f2), (3, "purchase", f3)]
-    funnel = None
-    for i, name, fd in steps:
-        row = fd.agg(F.count(F.lit(1)).alias("v")).select(
-            F.lit("funnel").alias("tier"),
-            F.lit(i).cast("bigint").alias("k1"),
-            F.lit(0).cast("bigint").alias("k2"),
-            F.col("v").cast("bigint").alias("v"),
-            F.lit(name).alias("s1"),
-            F.lit("").alias("s2"),
+    wp = W.partitionBy("user_id", "d")  # whole-partition frame, no ordering
+    et = F.col("event_type")
+    rn = F.col("rn")
+    fr = (
+        e.select("user_id", day.alias("d"), "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("p1", F.min(F.when(et == "view", rn)).over(wp))
+        .withColumn(
+            "p2",
+            F.min(F.when((et == "click") & (rn > F.col("p1")), rn)).over(wp),
         )
-        funnel = row if funnel is None else funnel.unionByName(row)
+        .withColumn(
+            "p3",
+            F.min(F.when((et == "purchase") & (rn > F.col("p2")), rn)).over(wp),
+        )
+    )
+    counts = fr.filter(rn == 1).agg(  # one row per user-day; p* are constants
+        F.count("p1").alias("c1"),
+        F.count("p2").alias("c2"),
+        F.count("p3").alias("c3"),
+    )
+    funnel = counts.select(
+        F.expr(
+            "stack(3, 1, 'view', c1, 2, 'click', c2, 3, 'purchase', c3)"
+        ).alias("k1", "s1", "v")
+    ).select(
+        F.lit("funnel").alias("tier"),
+        F.col("k1").cast("bigint").alias("k1"),
+        F.lit(0).cast("bigint").alias("k2"),
+        F.col("v").cast("bigint").alias("v"),
+        "s1",
+        F.lit("").alias("s2"),
+    )
     return lag_rows.unionByName(funnel)
 
 

@@ -93,7 +93,11 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         ("q04_segment_revenue", 4),
         # Window tier: each query's multiple window functions must share
         # ONE partition shuffle (same partitionBy/orderBy → one sort).
-        ("q11_window_lag", 1),
+        # q11: lag-tier window + the funnel tier's dependent window minima
+        # (one (user_id, day) exchange) + its single-row count = 3. The
+        # funnel MUST stay the stacked-window form — the join-back form
+        # measured 10 exchanges with 3 recomputed event scans.
+        ("q11_window_lag", 3),
         ("q12_moving_window", 1),
         # q20: global order WITHOUT Exchange SinglePartition — range
         # exchange + per-partition rank + rank-join lead + tiny aggs. More
@@ -128,11 +132,14 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # attaches all broadcast (measured 7).
         ("q38b_ivf_topk", 7),
         # q46: hop agg + rollup merge-on-read agg + the exact-distinct
-        # reference agg for the HLL sketch bound — never raw-event joins.
-        ("q46_hopping_window", 4),
+        # reference agg for the HLL sketch bound + the cohort tier's
+        # distinct/window/count chain (its cohort-size join reads the
+        # checkpointed offset-0 slice — no second pass over users).
+        ("q46_hopping_window", 5),
         # q52: cov single-row reduce + kmeans final-assign stats agg
-        # (assignment itself is the zero-shuffle literal-centroid form).
-        ("q52_cov_matrix", 4),
+        # (assignment itself is the zero-shuffle literal-centroid form)
+        # + the OLS tier's one map-side-combined moments agg.
+        ("q52_cov_matrix", 5),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_shuffles):
