@@ -125,8 +125,17 @@ def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'funnel', 2, 0, (SELECT COUNT(*) FROM f2), 'click', ''
     UNION ALL
     SELECT 'funnel', 3, 0, (SELECT COUNT(*) FROM f3), 'purchase', ''
+    UNION ALL
+    SELECT 'json', event_id, user_id,
+           CAST(props->>'k' AS BIGINT),
+           array_to_string(
+             list_sort(list_distinct([user_id % 7,
+                                      CAST(props->>'k' AS BIGINT) % 7,
+                                      event_id % 7]))[1:2], '-'),
+           array_to_string(json_keys(props), ',') || '=' || (props->>'k')
+    FROM events
     """,
-    tags=("W2", "funnel"),
+    tags=("W2", "funnel", "SF-json"),
 )
 def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window suite over events, two tiers (tier/k1/k2/v/s1/s2):
@@ -145,6 +154,13 @@ def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
       single-row count; no join-backs, nothing recomputed. (The earlier
       form joined three per-level aggregates back against the ranked
       table — 3 extra scans and ~7 extra exchanges for the same rows.)
+    * tier 'json' — semistructured extraction (SURVEY §2.11, the array/map/
+      JSON scalar family the reference's flat model lacks): the events
+      `props` JSON column parsed three ways — get_json_object path extract
+      (v), array construction → distinct → sort → slice → join (s1), and
+      from_json into map<string,bigint> with map_keys/element_at (s2).
+      Pure per-row JVM projection, zero added exchanges; the DuckDB twin
+      uses its native json/list functions.
     """
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -193,7 +209,34 @@ def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1",
         F.lit("").alias("s2"),
     )
-    return lag_rows.unionByName(funnel)
+
+    arr = F.slice(
+        F.sort_array(
+            F.array_distinct(
+                F.array(
+                    F.col("user_id") % 7,
+                    F.get_json_object("props", "$.k").cast("bigint") % 7,
+                    F.col("event_id") % 7,
+                )
+            )
+        ),
+        1,
+        2,
+    )
+    pmap = F.from_json("props", "map<string,bigint>")
+    json_rows = e.select(
+        F.lit("json").alias("tier"),
+        F.col("event_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("v"),
+        F.array_join(arr, "-").alias("s1"),
+        F.concat(
+            F.array_join(F.map_keys(pmap), ","),
+            F.lit("="),
+            F.element_at(pmap, "k").cast("string"),
+        ).alias("s2"),
+    )
+    return lag_rows.unionByName(funnel).unionByName(json_rows)
 
 
 @query(

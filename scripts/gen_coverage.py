@@ -108,6 +108,7 @@ def main() -> None:
         ("cohort retention analysis (first-seen cohorts × day offsets)", "cohort"),
         ("ordered-event funnel matching (view→click→purchase)", "funnel"),
         ("distributed OLS trend (exact-moment closed-form regression)", "trend"),
+        ("array/map/JSON scalar functions (SURVEY §2.11 Cap row)", "SF-json"),
     ]
     for label, tag in fams:
         names = sorted({q.name for q in qs.values() if tag in q.tags})
