@@ -53,8 +53,14 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _build_x10(spark, sf_dir: str) -> None:
-    """Replicate every table 10× with id/key columns shifted per replica —
+def _build_x10(
+    spark,
+    sf_dir: str,
+    out_dir: str = _X10_DIR,
+    copies: int = _X10_COPIES,
+    tables: tuple[str, ...] | None = None,
+) -> None:
+    """Replicate each table `copies`× with id/key columns shifted per replica —
     keys ending in 'key' or '_id' move by replica*_X10_SHIFT, so cross-table
     join keys stay consistent (both sides shift identically) and the
     id-modulus augmentations (doc_id % 10 etc.) keep their classes."""
@@ -63,14 +69,14 @@ def _build_x10(spark, sf_dir: str) -> None:
 
     from minarrow_spark.sources.catalog import TABLES, table_path
 
-    marker = os.path.join(_X10_DIR, "_MARKER.json")
+    marker = os.path.join(out_dir, "_MARKER.json")
     if os.path.exists(marker):
         with open(marker) as fh:
             if json.load(fh).get("src") == sf_dir:
                 return
-    shutil.rmtree(_X10_DIR, ignore_errors=True)
-    os.makedirs(_X10_DIR, exist_ok=True)
-    for name in TABLES:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in tables or TABLES:
         df = spark.read.parquet(table_path(sf_dir, name))
         id_cols = [
             f.name
@@ -79,7 +85,7 @@ def _build_x10(spark, sf_dir: str) -> None:
             and (f.name.endswith("key") or f.name.endswith("_id"))
         ]
         reps = []
-        for i in range(_X10_COPIES):
+        for i in range(copies):
             rep = df
             for c in id_cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * _X10_SHIFT))
@@ -87,9 +93,9 @@ def _build_x10(spark, sf_dir: str) -> None:
         out = reps[0]
         for rep in reps[1:]:
             out = out.unionByName(rep)
-        out.write.mode("overwrite").parquet(table_path(_X10_DIR, name))
+        out.write.mode("overwrite").parquet(table_path(out_dir, name))
     with open(marker, "w") as fh:
-        json.dump({"src": sf_dir, "copies": _X10_COPIES}, fh)
+        json.dump({"src": sf_dir, "copies": copies}, fh)
 
 
 def _run_x10(spark, qs, sf: float) -> dict:

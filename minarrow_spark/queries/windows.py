@@ -279,7 +279,9 @@ def q12_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
              AS bal_quartile,
            LEAD(c_custkey) OVER (ORDER BY c_acctbal DESC, c_custkey) AS next_cust,
-           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_code
+           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_code,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pct_rank,
+           CUME_DIST() OVER (ORDER BY c_acctbal DESC, c_custkey) AS cum_dist
     FROM customer
     """,
     tags=("W1", "W2", "T17"),
@@ -323,5 +325,13 @@ def q20_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             ntile_from_rank(F.col("grank"), F.col("__n"), 4).alias("bal_quartile"),
             "next_cust",
             "seg_code",
+            # Under a UNIQUE total order the standard definitions reduce to
+            # rank arithmetic — exact ints < 2^53, one IEEE division both
+            # engines share: PERCENT_RANK = (rank-1)/(n-1), CUME_DIST =
+            # rank/n (each row is its own peer group).
+            ((F.col("grank") - 1).cast("double") / (F.col("__n") - 1).cast("double"))
+            .alias("pct_rank"),
+            (F.col("grank").cast("double") / F.col("__n").cast("double"))
+            .alias("cum_dist"),
         )
     )

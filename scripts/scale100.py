@@ -1,0 +1,69 @@
+"""One-off 100× scale check: replicate the sf0.1 testdata 100 times with
+per-replica key shifts (same generator bench.py's 10× tier uses) and run a
+spanning query subset — the measured answer to "would this plan survive a
+100× scale-up?". Results are recorded in SCALE.md.
+
+Usage: python scripts/scale100.py [q...]   (default: the subset below)
+Writes replicas to .scratch/bench_x100 (~1.6 GB) and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from minarrow_spark.registry import all_queries
+from minarrow_spark.session import get_spark
+
+X100_DIR = "/root/repo/.scratch/bench_x100"
+DEFAULT = (
+    "q01_pricing_summary",   # salted scaled-long agg over 60M lineitem rows
+    "q04_segment_revenue",   # multi-join + partial agg
+    "q10_window_topk",       # per-key windows over 15M orders
+    "q45_tumbling_window",   # event-time agg over 10M events
+    "q47_sessionization",    # stateful windows over 10M events
+    "q42_sequence_packing",  # cumulative packing over 5M documents
+    "q35_dedup_minhash",     # minhash-LSH dedup over 5M documents
+    "q38_ann_topk",          # brute-force ANN over 1M embeddings
+)
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(DEFAULT)
+    spark = get_spark("minarrow_spark_x100")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    t0 = time.perf_counter()
+    bench._build_x10(spark, "/root/testdata/sf0.1", out_dir=X100_DIR, copies=100)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    times: dict[str, float] = {}
+    for name in names:
+        bench.materialize(qs[name].fn(spark, X100_DIR))  # warm: codegen + JIT
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bench.materialize(qs[name].fn(spark, X100_DIR))
+            dt = round(time.perf_counter() - t0, 2)
+            best = dt if best is None or dt < best else best
+        times[name] = best
+        print(f"... {name}: {best}s", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "x100_scale_check",
+        "sf": 10.0,
+        "build_s": build_s,
+        "queries": times,
+        "value": round(sum(times.values()), 2),
+        "unit": "sec",
+    }))
+
+
+if __name__ == "__main__":
+    main()
