@@ -176,6 +176,7 @@ def minhash_lsh_jaccard(
     band_size: int = 2,
     hash_bits: int = 16,
     materialize: str = "eager",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Fused minhash → banded LSH → exact-jaccard pipeline: (da, db, jaccard)
     for every candidate pair. No persist()/unpersist() lifecycle: the one
@@ -213,7 +214,27 @@ def minhash_lsh_jaccard(
 
     Measured at sf0.1 (noop-sink materialization): ~1.4s (16-bit slices,
     eager checkpoint) vs 2.1s (32-bit) vs 3.1s for the round-1
-    persist+attach-join formulation."""
+    persist+attach-join formulation.
+
+    ``collapse_exact`` (default on) is the dense-duplication guard — the
+    production "exact-dedup before near-dedup" pattern: pair-candidate
+    work inside an LSH bucket is quadratic in bucket size, and a c-way
+    exact-duplicate cluster (boilerplate pages, mirrored shards) puts c
+    identical signatures in EVERY band bucket — c² candidate pairs, each
+    paying the full shingle-intersection verify. Collapsed, the signature
+    aggregate keys on an exact multiset fingerprint (md5 of the sorted
+    distinct shingle array, a per-row projection), so each distinct
+    shingle SET enters banding and verification exactly once; the full
+    pair list is reconstructed afterwards from slim (doc_id, fp) member
+    rows — within-group pairs are jaccard 1.0 by construction, cross-group
+    pairs inherit their representatives' verified jaccard (identical sets
+    ⇒ identical intersections, so the expansion is exact, not
+    approximate). Output rows are unchanged bit-for-bit; only the work to
+    produce them stops being quadratic in clone count. Measured on the
+    100× key-shifted replica corpus (5M docs, every doc in a 100-way
+    clone cluster — scripts/scale100.py): 114 s uncollapsed → see
+    SCALE.md for the collapsed number; at sf0.1 (near-dups only, no exact
+    clones) the overhead is the fp projection plus two slim joins."""
     if hash_bits % 4 != 0 or not 4 <= hash_bits <= 128:
         raise ValueError("hash_bits must be a multiple of 4 in [4, 128]")
     if num_hashes % band_size != 0:
@@ -241,23 +262,38 @@ def minhash_lsh_jaccard(
     # "none" recomputes the text pipeline per branch (~1.9s, the stateless
     # fallback when checkpoint storage is unavailable).
     dsa = doc_shingle_arrays(docs, k=k)
+    if collapse_exact:
+        # Exact multiset fingerprint, per-row: distinct (already) + sorted
+        # shingles joined under a separator no token can contain. Identical
+        # fp ⇔ identical shingle set ⇒ identical signature, bands, and
+        # pairwise jaccard against ANY third document.
+        dsa = dsa.withColumn(
+            "fp", F.md5(F.concat_ws("\x01", F.sort_array("sh_arr")))
+        )
     if materialize != "none":
         dsa = dsa.localCheckpoint(eager=(materialize == "eager"))
-    sh = dsa.select("doc_id", F.explode("sh_arr").alias("shingle"))
+
+    group_key = "fp" if collapse_exact else "doc_id"
+    keys = ["fp", "doc_id"] if collapse_exact else ["doc_id"]
+    sh = dsa.select(*keys, F.explode("sh_arr").alias("shingle"))
     src = sh.select(
-        "doc_id",
+        *keys,
         *[
             F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"m{i}")
             for i in range(n_md5)
         ],
     )
-    sig = src.groupBy("doc_id").agg(
+    # Keyed on the set fingerprint, clone groups combine MAP-SIDE: one
+    # signature (and its min-doc representative) crosses the wire per
+    # distinct shingle set, no matter how many copies exist.
+    sig = src.groupBy(group_key).agg(
+        F.min("doc_id").alias("rep"),
         *[
             F.min(
                 F.substring(F.col(f"m{i // per_md5}"), 1 + width * (i % per_md5), width)
             ).alias(f"h{i}")
             for i in range(num_hashes)
-        ]
+        ],
     )
     bands = F.array(
         *[
@@ -270,15 +306,19 @@ def minhash_lsh_jaccard(
             for b in range(n_bands)
         ]
     )
-    bandrows = sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band_id", "bb.band_key"
+    bandrows = sig.select(group_key, "rep", F.explode(bands).alias("bb")).select(
+        group_key, "rep", "bb.band_id", "bb.band_key"
     )
-    a = bandrows.select(F.col("doc_id").alias("da"), "band_id", "band_key")
-    b = bandrows.select(F.col("doc_id").alias("db"), "band_id", "band_key")
+    a = bandrows.select(
+        F.col(group_key).alias("ga"), F.col("rep").alias("da"), "band_id", "band_key"
+    )
+    b = bandrows.select(
+        F.col(group_key).alias("gb"), F.col("rep").alias("db"), "band_id", "band_key"
+    )
     cands = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+        .select("ga", "da", "gb", "db")
         .distinct()
     )
     arr_a = dsa.select(F.col("doc_id").alias("da"), F.col("sh_arr").alias("arr_a"))
@@ -288,13 +328,41 @@ def minhash_lsh_jaccard(
     # The candidate side is hinted broadcast; AQE keeps the second attach
     # broadcast too (its build side is candidate-sized at runtime). A second
     # explicit hint was measured slower — it forces an eager blocking
-    # broadcast build of the intermediate join.
-    return (
+    # broadcast build of the intermediate join. Arrays attach by doc_id on
+    # plain dsa scans — the corpus-sized array table never shuffles.
+    rep_pairs = (
         F.broadcast(cands)
         .join(arr_a, "da")
         .join(arr_b, "db")
-        .select("da", "db", jac.alias("jaccard"))
+        .select("ga", "da", "gb", "db", jac.alias("jaccard"))
     )
+    if not collapse_exact:
+        return rep_pairs.select("da", "db", "jaccard")
+
+    # Expansion back to the full pair list, from slim (doc_id, fp) rows only.
+    members = dsa.filter(F.size("sh_arr") > 0).select("doc_id", "fp")
+    ma = members.select(F.col("fp").alias("ga"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("fp").alias("gb"), F.col("doc_id").alias("ib"))
+    cross = (
+        F.broadcast(rep_pairs.select("ga", "gb", "jaccard"))
+        .join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("ia", "ib").alias("da"),
+            F.greatest("ia", "ib").alias("db"),
+            "jaccard",
+        )
+    )
+    within = (
+        ma.join(mb, F.col("ga") == F.col("gb"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("da"),
+            F.col("ib").alias("db"),
+            F.lit(1.0).alias("jaccard"),  # identical sets, exactly
+        )
+    )
+    return cross.unionByName(within)
 
 
 def jaccard_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:

@@ -125,6 +125,29 @@ def test_minhash_composed_equals_fused(spark, sf_dir):
     assert _canon(composed) == _canon(fused)
 
 
+def test_minhash_exact_collapse_equivalence(spark, sf_dir):
+    """collapse_exact must be a pure work optimization: on a corpus where
+    every doc has an exact clone (the dense-duplication case it exists
+    for — c-way clone clusters put c identical signatures in every LSH
+    bucket, c² candidate pairs uncollapsed), the collapsed pipeline's
+    pair list is bit-identical to the direct one, including the
+    within-clone jaccard=1.0 pairs and every cross-clone expansion."""
+    from minarrow_spark.operators.dedup import (
+        augment_with_near_dups,
+        minhash_lsh_jaccard,
+    )
+
+    docs = augment_with_near_dups(load_table(spark, sf_dir, "documents"))
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    collapsed = minhash_lsh_jaccard(corpus, collapse_exact=True)
+    direct = minhash_lsh_jaccard(corpus, collapse_exact=False)
+    rc, rd = _canon(collapsed), _canon(direct)
+    assert rc == rd
+    assert any(j == 1.0 for _, _, j in rc)  # clone pairs present
+
+
 def test_bpe_token_count_semantics(spark):
     """BPE-ish pre-tokenizer contract (functions/text.py BPE_PATTERN):
     contractions split off, whitespace merges into the following token,
