@@ -91,6 +91,7 @@ def cell_blocked_pairs(
     cell_lo: int = 2,
     cell_hi: int = 9,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-bit cell blocking: one equi-join on
     the cell key instead of an all-pairs product, exact cosine ≥ threshold
@@ -111,16 +112,81 @@ def cell_blocked_pairs(
     sign dim — true near-dups (cosine ≳ 0.9) rarely do, and narrowing the
     width only ever ADDS pairs (output at b+k bits ⊆ output at b bits; the
     monotonicity is pinned by test). Pick the width that makes per-cell
-    populations fit the n²-within-block budget at your corpus density."""
-    c = corpus.withColumn("cell", sign_cell(F.col(vec_col), cell_lo, cell_hi))
-    a = c.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), "cell")
-    b = c.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"), "cell")
-    return (
+    populations fit the n²-within-block budget at your corpus density.
+
+    ``collapse_exact`` (default on, the q35/q39b dense-duplication guard):
+    c-way exact vector clones land in the same cell and cost c² cosine
+    verifies; collapsed, each DISTINCT vector (exact md5 fingerprint)
+    enters the cell join once — the distinct-vector table comes from a
+    map-side-combined min_by aggregate, so one payload per distinct vector
+    crosses the wire — and the pair list is expanded from slim (id, rep)
+    member rows: cross-group pairs inherit the representatives' cosine
+    exactly (identical arrays ⇒ identical IEEE math), within-group pairs
+    get the group's self-sim computed once with the same expression.
+    Output is bit-identical either way (pinned by test); measured at the
+    100× replica point (1.1M vectors, 100-way clone groups): 115 s → see
+    SCALE.md."""
+    if not collapse_exact:
+        c = corpus.withColumn("cell", sign_cell(F.col(vec_col), cell_lo, cell_hi))
+        a = c.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), "cell")
+        b = c.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"), "cell")
+        return (
+            a.join(b, "cell")
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+
+    from pyspark.sql import Window as W
+
+    fp = F.md5(F.col(vec_col).cast("string"))
+    members = (
+        corpus.select(F.col(id_col).alias("id"), fp.alias("fp"))
+        .withColumn("rep", F.min("id").over(W.partitionBy("fp")))
+        .select("id", "rep")
+        .localCheckpoint(eager=True)  # slim; feeds expansion + dup detection
+    )
+    dv = (
+        corpus.select(F.col(id_col).alias("id"), fp.alias("fp"), F.col(vec_col).alias("v"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("rid"), F.min_by("v", "id").alias("v"))
+        .withColumn("cell", sign_cell(F.col("v"), cell_lo, cell_hi))
+    )
+    a = dv.select(F.col("rid").alias("va"), F.col("v").alias("ea"), "cell")
+    b = dv.select(F.col("rid").alias("vb"), F.col("v").alias("eb"), "cell")
+    rep_pairs = (
         a.join(b, "cell")
         .filter(F.col("va") < F.col("vb"))
         .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    m1 = members.select(F.col("rep").alias("va"), F.col("id").alias("ia"))
+    m2 = members.select(F.col("rep").alias("vb"), F.col("id").alias("ib"))
+    cross = (
+        rep_pairs.join(m1, "va")
+        .join(m2, "vb")
+        .select(
+            F.least("ia", "ib").alias("va"),
+            F.greatest("ia", "ib").alias("vb"),
+            "sim",
+        )
+    )
+    dup_reps = (
+        members.groupBy("rep").count().filter(F.col("count") >= 2).select("rep")
+    )
+    selfsim = (
+        dup_reps.join(dv, dup_reps.rep == dv.rid)
+        .select("rep", cosine_sim(F.col("v"), F.col("v")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    within = (
+        members.select("rep", F.col("id").alias("ia"))
+        .join(members.select("rep", F.col("id").alias("ib")), "rep")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(selfsim), "rep")
+        .select(F.col("ia").alias("va"), F.col("ib").alias("vb"), "sim")
+    )
+    return cross.unionByName(within)
 
 
 def pq_cell_keys(

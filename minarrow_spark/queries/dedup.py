@@ -13,7 +13,7 @@ operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from minarrow_spark.operators.dedup import (
@@ -518,13 +518,38 @@ def q37_ngram_jaccard(
     # ANY bucket width — narrower buckets only cut cross-doc filler pairs
     # (~150k → ~30k candidates at sf0.1). One GC-scoped materialization
     # feeds the count, and both attach branches (same rationale as q35).
+    # Dense-duplication guard (the q35/q39b collapse pattern; measured
+    # necessary at the 100× replica point, where 100-way text clones made
+    # the blocked pair set exceed the broadcast/driver limits): the group
+    # key is (normalized text, source, block) — everything that decides
+    # BOTH blocking and the jaccard value — so each distinct (content,
+    # block) enters the pair join once; the pair list is expanded back
+    # from slim member rows, within-group pairs being exactly 1.0
+    # (identical distinct gram arrays).
     garr = corpus.select(
         "doc_id",
         "source",
         (F.col("n_chars") / bucket_chars).cast("bigint").alias("blk"),
         F.array_distinct(gram_arr).alias("garr"),
+        F.md5(
+            F.concat_ws(
+                "\x01",
+                F.col("t"),
+                F.col("source"),
+                (F.col("n_chars") / bucket_chars).cast("bigint").cast("string"),
+            )
+        ).alias("fp"),
     ).localCheckpoint(eager=True)
-    cnt = garr.select("doc_id", "source", "blk", F.size("garr").alias("n"))
+    members = (
+        garr.select("doc_id", "fp")
+        .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)  # slim (two longs/row); 5 consumers
+    )
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    cnt = garr.select("doc_id", "source", "blk", F.size("garr").alias("n")).join(
+        rep_ids, "doc_id"
+    )
     a = cnt.select(
         F.col("doc_id").alias("da"), "source", "blk", F.col("n").alias("ca")
     )
@@ -544,12 +569,50 @@ def q37_ngram_jaccard(
     arr_b = garr.select(F.col("doc_id").alias("db"), F.col("garr").alias("arr_b"))
     ni = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
     jac = F.round(ni / (F.col("ca") + F.col("cb") - ni), 6)
-    jrows = (
+    rep_jrows = (
         F.broadcast(pairs)
         .join(arr_a, "da")
         .join(arr_b, "db")
-        .select(F.lit("jaccard").alias("tier"), "da", "db", jac.alias("metric"))
+        .select("da", "db", jac.alias("metric"))
         .filter(F.col("metric") >= 0.3)
+    )
+    m1 = members.select(F.col("rep").alias("da"), F.col("doc_id").alias("ia"))
+    m2 = members.select(F.col("rep").alias("db"), F.col("doc_id").alias("ib"))
+    cross = (
+        F.broadcast(rep_jrows)
+        .join(m1, "da")
+        .join(m2, "db")
+        .select(
+            F.least("ia", "ib").alias("da"),
+            F.greatest("ia", "ib").alias("db"),
+            "metric",
+        )
+    )
+    nonempty_dups = (
+        members.groupBy("rep")
+        .count()
+        .filter(F.col("count") >= 2)
+        .join(
+            garr.select(F.col("doc_id").alias("rep"), F.size("garr").alias("n")),
+            "rep",
+        )
+        .filter(F.col("n") > 0)  # empty gram sets give null jaccard — dropped
+        .select("rep")
+    )
+    within = (
+        members.select("rep", F.col("doc_id").alias("ia"))
+        .join(members.select("rep", F.col("doc_id").alias("ib")), "rep")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(nonempty_dups), "rep")
+        .select(
+            F.col("ia").alias("da"),
+            F.col("ib").alias("db"),
+            F.lit(1.0).alias("metric"),  # identical distinct gram arrays
+        )
+    )
+    jrows = (
+        cross.unionByName(within)
+        .select(F.lit("jaccard").alias("tier"), "da", "db", "metric")
     )
 
     # tier 'editdist' — blocked Levenshtein fuzzy join over part names

@@ -548,18 +548,40 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically; scale-6 quantization only perturbs the LSH bit boundary,
     which the exact-cosine verify stage absorbs), and decimal addition is
     exact, so every sign bit matches the oracle under ANY partitioning
-    (see _q39b_oracle)."""
+    (see _q39b_oracle).
+
+    Dense-duplication guard (same pattern as minhash_lsh_jaccard's
+    collapse_exact, measured necessary on the 100× replica corpus where
+    every vector has 99 exact clones): identical embeddings produce
+    identical band keys, so a c-way clone cluster is c² candidate pairs in
+    every band — at 100× the candidate set alone exceeded
+    spark.driver.maxResultSize during its broadcast. Banding and cosine
+    verification therefore run on one representative per DISTINCT
+    embedding (exact md5 fingerprint; rep selection and the band-row
+    filter are slim id-only joins — the vector table never shuffles), and
+    the full pair list is expanded afterwards from (vec_id, rep) member
+    rows: cross-group pairs inherit the representatives' sim exactly
+    (identical arrays ⇒ identical IEEE cosine), within-group pairs get
+    the group's self-sim computed once per duplicated embedding with the
+    SAME cosine expression both attach joins use."""
     e = par(T(spark, sf_dir, "embeddings"))
     n_planes = _LSH_PLANES
 
     vec = F.col("embedding").cast("array<double>")
+    e2 = e.select("vec_id", vec.alias("emb"))
+    members = (
+        e2.select("vec_id", F.md5(F.col("emb").cast("string")).alias("fp"))
+        .withColumn("rep", F.min("vec_id").over(W.partitionBy("fp")))
+        .select("vec_id", "rep")
+        .localCheckpoint(eager=True)  # slim (two longs/row); 3 consumers
+    )
+    rep_ids = members.filter(F.col("vec_id") == F.col("rep")).select("vec_id")
+
     sign_rows = [
         (p, d, _plane_signs(p)[d]) for p in range(n_planes) for d in range(_LSH_DIM)
     ]
     signs = spark.createDataFrame(sign_rows, ["p", "d", "s"])
-    ex = e.select("vec_id", vec.alias("emb")).select(
-        "vec_id", F.posexplode("emb").alias("d", "x")
-    )
+    ex = e2.select("vec_id", F.posexplode("emb").alias("d", "x"))
     proj = (
         ex.join(F.broadcast(signs), "d")
         .groupBy("vec_id", "p")
@@ -579,6 +601,7 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("band_key")
         )
+        .join(rep_ids, "vec_id")  # slim: only representatives enter banding
     )
     a = bandrows.select(F.col("vec_id").alias("va"), "band_id", "band_key")
     b = bandrows.select(F.col("vec_id").alias("vb"), "band_id", "band_key")
@@ -588,12 +611,40 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("va", "vb")
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("va"), vec.alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vb"), vec.alias("eb"))
-    return (
+    ea = e2.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    eb = e2.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    rep_pairs = (
         F.broadcast(cands)
         .join(ea, "va")
         .join(eb, "vb")
         .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
         .filter(F.col("sim") >= 0.3)
     )
+    m1 = members.select(F.col("rep").alias("va"), F.col("vec_id").alias("ia"))
+    m2 = members.select(F.col("rep").alias("vb"), F.col("vec_id").alias("ib"))
+    cross = (
+        F.broadcast(rep_pairs)
+        .join(m1, "va")
+        .join(m2, "vb")
+        .select(
+            F.least("ia", "ib").alias("va"),
+            F.greatest("ia", "ib").alias("vb"),
+            "sim",
+        )
+    )
+    dup_reps = (
+        members.groupBy("rep").count().filter(F.col("count") >= 2).select("rep")
+    )
+    selfsim = (
+        dup_reps.join(e2, dup_reps.rep == e2.vec_id)
+        .select("rep", cosine_sim(F.col("emb"), F.col("emb")).alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+    within = (
+        members.select(F.col("rep"), F.col("vec_id").alias("ia"))
+        .join(members.select("rep", F.col("vec_id").alias("ib")), "rep")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(F.broadcast(selfsim), "rep")
+        .select(F.col("ia").alias("va"), F.col("ib").alias("vb"), "sim")
+    )
+    return cross.unionByName(within)

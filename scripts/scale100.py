@@ -44,25 +44,33 @@ def main() -> None:
     build_s = round(time.perf_counter() - t0, 1)
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        bench.materialize(qs[name].fn(spark, X100_DIR))  # warm: codegen + JIT
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            bench.materialize(qs[name].fn(spark, X100_DIR))
-            dt = round(time.perf_counter() - t0, 2)
-            best = dt if best is None or dt < best else best
-        times[name] = best
-        print(f"... {name}: {best}s", file=sys.stderr, flush=True)
+        try:
+            bench.materialize(qs[name].fn(spark, X100_DIR))  # warm: codegen + JIT
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                bench.materialize(qs[name].fn(spark, X100_DIR))
+                dt = round(time.perf_counter() - t0, 2)
+                best = dt if best is None or dt < best else best
+            times[name] = best
+            print(f"... {name}: {best}s", file=sys.stderr, flush=True)
+        except Exception as ex:  # noqa: BLE001 — a 100× failure IS the finding
+            errors[name] = f"{type(ex).__name__}: {ex}"[:400]
+            print(f"... {name}: FAILED {errors[name][:200]}", file=sys.stderr, flush=True)
 
-    print(json.dumps({
+    out = {
         "metric": "x100_scale_check",
         "sf": 10.0,
         "build_s": build_s,
         "queries": times,
         "value": round(sum(times.values()), 2),
         "unit": "sec",
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -148,6 +148,24 @@ def test_minhash_exact_collapse_equivalence(spark, sf_dir):
     assert any(j == 1.0 for _, _, j in rc)  # clone pairs present
 
 
+def test_cell_blocked_exact_collapse_equivalence(spark, sf_dir):
+    """Same contract for the embedding-cell family: collapse_exact must be
+    a pure work optimization — identical pair lists (incl. the clone
+    self-sim pairs) on a corpus where every vector has an exact clone."""
+    from minarrow_spark.operators.similarity import cell_blocked_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    corpus = e.unionByName(
+        e.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    )
+    rc = _canon(cell_blocked_pairs(corpus, collapse_exact=True))
+    rd = _canon(cell_blocked_pairs(corpus, collapse_exact=False))
+    assert rc == rd
+    assert len(rc) > 0
+
+
 def test_bpe_token_count_semantics(spark):
     """BPE-ish pre-tokenizer contract (functions/text.py BPE_PATTERN):
     contractions split off, whitespace merges into the following token,
