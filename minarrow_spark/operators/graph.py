@@ -183,3 +183,103 @@ def pagerank(
     return ranks.join(deg.withColumnRenamed("u", "id"), "id").select(
         "id", F.col("r").alias("rank_scaled"), F.col("dg").alias("degree")
     )
+
+
+def pagerank_lumped(
+    rep_edges: DataFrame,
+    sizes: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    id_col: str = "rep",
+    size_col: str = "gc",
+    iters: int = 3,
+    damping: float = 0.85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Exact PageRank over a CLONE-LUMPED graph: ``rep_edges`` connect one
+    representative per group of structurally identical vertices, ``sizes``
+    gives each group's multiplicity. The full (expanded) graph is: every
+    group internally a clique, every rep edge a complete bipartite bundle
+    between the two member sets — exactly the graph dense exact duplication
+    induces in the dedup families.
+
+    Identical ranks to running :func:`pagerank` on the expanded graph,
+    proved by symmetry induction under the integer contract: clone-group
+    members start uniform (round(scale/N)); if ranks are uniform within
+    every group at round t, every member of group h receives
+    Σ_{g∈N(h)} c_g·round(damping·r_g/deg_g) + (c_h−1)·round(damping·r_h/deg_h)
+    — identical for all members — so uniformity holds at t+1, and the
+    group-level recurrence computes the shared value with the same exact
+    integer operations (per-edge rounding BEFORE sums; multiplying a
+    rounded long by c_g equals summing c_g identical rounded longs).
+    Degrees: deg_g = (c_g−1) + Σ_{h∈N(g)} c_h; N = Σ c_g over groups with
+    deg ≥ 1 (clique edges keep every member of a c≥2 group in-graph).
+    Pinned against the expanded computation by
+    tests/test_graph.py::test_pagerank_lumped_equals_expanded.
+
+    Scale shape: the loop's tables are GROUP-count-sized — the c² expanded
+    edge bundle never materializes. Returns group-level
+    (id, rank_scaled, degree, n_members); expand by joining members on id.
+    """
+    e = (
+        rep_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(rep_edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    sz = sizes.select(F.col(id_col).alias("u"), F.col(size_col).alias("cu"))
+    nsum = (
+        e.join(
+            sizes.select(F.col(id_col).alias("v"), F.col(size_col).alias("cv")), "v"
+        )
+        .groupBy("u")
+        .agg(F.sum("cv").alias("ns"))
+    )
+    deg = (
+        sz.join(nsum, "u", "left")
+        .select(
+            "u",
+            "cu",
+            (F.coalesce(F.col("ns"), F.lit(0)) + F.col("cu") - 1).alias("dg"),
+        )
+        .filter(F.col("dg") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    n = deg.agg(F.sum("cu")).collect()[0][0]  # full-graph N — scalar only
+    base = F.lit(float((1.0 - damping) * scale))
+    r0 = F.round(F.lit(float(scale)) / F.lit(n)).cast("long")
+    ranks = deg.select(F.col("u").alias("id"), r0.alias("r"))
+    for _ in range(iters):
+        t = (
+            ranks.join(deg.withColumnRenamed("u", "id"), "id")
+            .select(
+                "id",
+                "cu",
+                F.round(F.lit(damping) * F.col("r") / F.col("dg"))
+                .cast("long")
+                .alias("t"),
+            )
+        )
+        recv = (
+            e.join(t.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), (F.col("cu") * F.col("t")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            t.join(recv, "id", "left")
+            .select(
+                "id",
+                (
+                    F.round(base / F.lit(n)).cast("long")
+                    + F.coalesce(F.col("c"), F.lit(0))
+                    + (F.col("cu") - 1) * F.col("t")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg.withColumnRenamed("u", "id"), "id").select(
+        "id",
+        F.col("r").alias("rank_scaled"),
+        F.col("dg").alias("degree"),
+        F.col("cu").alias("n_members"),
+    )

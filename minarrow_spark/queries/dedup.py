@@ -356,7 +356,23 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures are one explode + one map-side-combined
     groupBy; band rows are integer triples through the self-join (the
     q35/q39b LSH discipline); components move only a 2-column label table
-    per round (2-4 rounds on dup-shaped graphs)."""
+    per round (2-4 rounds on dup-shaped graphs).
+
+    Dense-duplication guard (the q35/q37/q39b/q40 collapse, graph
+    edition — measured necessary at the 100× replica point, where 100-way
+    text clones make the dedup graph a union of 100-member cliques and
+    the banded pair join ground for tens of minutes): identical text ⇒
+    identical simhash ⇒ identical edges, so banding and hamming verify
+    run on one representative per distinct text. The graph tiers then
+    stay REP-LEVEL instead of expanding the c² clique edges: components
+    of the expanded graph are exactly the rep components with members
+    attached (every clone is clique-connected to its rep; a c≥2 group
+    with no external edges is its own cluster; keep_id = min rep = min
+    member since reps are group-minima), and PageRank uses exact graph
+    LUMPING — clone members provably hold identical ranks under the
+    integer contract, computed group-level with multiplicities
+    (operators/graph.pagerank_lumped, pinned against the expanded
+    computation by test) and joined back to members."""
     d = par(T(spark, sf_dir, "documents"))
     hash16 = simhash16(d).select(
         F.lit("hash").alias("tier"),
@@ -365,36 +381,59 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("aux"),
     )
     from minarrow_spark.operators.dedup import simhash, simhash_hamming_pairs
-    from minarrow_spark.operators.graph import dedup_clusters
+    from minarrow_spark.operators.graph import dedup_clusters, pagerank_lumped
 
     corpus = augment_with_near_dups(d)
-    sig = simhash(corpus, bits=32)
+    members = (
+        corpus.select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)  # slim; feeds edges filter + both tiers
+    )
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("gc"))
+    sig = simhash(corpus, bits=32).join(rep_ids, "doc_id")
     # eager checkpoint: both the components fixpoint and the pagerank loop
     # consume the banded self-join — concurrent first touch would run it
     # twice (the q35 rule)
-    edges = simhash_hamming_pairs(sig, bits=32, bands=4, max_hamming=3)
-    edges = edges.localCheckpoint(eager=True)
-    clusters = dedup_clusters(edges)
-    cl = clusters.select(
-        F.lit("clusters").alias("tier"),
-        "doc_id",
-        F.col("keep_id").alias("val"),
-        F.col("is_keeper").cast("bigint").alias("aux"),
+    redges = simhash_hamming_pairs(sig, bits=32, bands=4, max_hamming=3)
+    redges = redges.localCheckpoint(eager=True)
+
+    rep_cl = dedup_clusters(redges)
+    solo_dups = (  # c≥2 groups with no external edges: their own cluster
+        gsz.filter(F.col("gc") >= 2)
+        .join(rep_cl.select(F.col("doc_id").alias("rep")), "rep", "left_anti")
+        .select(F.col("rep").alias("rdoc"), F.col("rep").alias("keep_id"))
+    )
+    rep_map = rep_cl.select(F.col("doc_id").alias("rdoc"), "keep_id").unionByName(
+        solo_dups
+    )
+    cl = (
+        members.join(rep_map, members.rep == rep_map.rdoc)
+        .select(
+            F.lit("clusters").alias("tier"),
+            "doc_id",
+            F.col("keep_id").alias("val"),
+            (F.col("doc_id") == F.col("keep_id")).cast("bigint").alias("aux"),
+        )
     )
 
     # tier 'pagerank' — centrality over the SAME dedup graph (which docs
-    # anchor the near-dup neighborhoods): fixed-iteration BSP loop with
-    # exact scaled-long ranks (operators/graph.pagerank); the oracle
-    # replays every round (_pagerank_ctes)
-    from minarrow_spark.operators.graph import pagerank
-
-    pr = pagerank(edges, src="da", dst="db", iters=_PR_ITERS,
-                  damping=_PR_DAMP, scale=_PR_SCALE)
-    prt = pr.select(
-        F.lit("pagerank").alias("tier"),
-        F.col("id").alias("doc_id"),
-        F.col("rank_scaled").alias("val"),
-        F.col("degree").cast("bigint").alias("aux"),
+    # anchor the near-dup neighborhoods): lumped BSP loop with exact
+    # scaled-long ranks; the oracle replays every round of the FULL graph
+    # (_pagerank_ctes) — equality is the lumping proof executed.
+    pr = pagerank_lumped(
+        redges, gsz, src="da", dst="db", id_col="rep", size_col="gc",
+        iters=_PR_ITERS, damping=_PR_DAMP, scale=_PR_SCALE,
+    )
+    prt = (
+        members.join(pr, members.rep == pr.id)
+        .select(
+            F.lit("pagerank").alias("tier"),
+            "doc_id",
+            F.col("rank_scaled").alias("val"),
+            F.col("degree").cast("bigint").alias("aux"),
+        )
     )
     return hash16.unionByName(cl).unionByName(prt)
 

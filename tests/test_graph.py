@@ -127,3 +127,37 @@ def test_pagerank_star_graph_and_determinism(spark):
     spoke1 = base + round(0.85 * r0 / 4)
     pr_1 = {r["id"]: r["rank_scaled"] for r in pagerank(edges, iters=1).collect()}
     assert pr_1[0] == hub1 and pr_1[1] == spoke1
+
+
+def test_pagerank_lumped_equals_expanded(spark):
+    """The lumping theorem, executed: PageRank over the expanded graph
+    (clone groups as cliques + complete bipartite bundles along rep edges)
+    equals the group-level lumped computation joined back to members —
+    bit-for-bit, since both run the same exact integer contract."""
+    from minarrow_spark.operators.graph import pagerank, pagerank_lumped
+
+    # groups: A={0,1,2} B={10} C={20,21} D={30,31} (D isolated, c>=2)
+    sizes = spark.createDataFrame(
+        [(0, 3), (10, 1), (20, 2), (30, 2)], "rep long, gc long"
+    )
+    members = {0: [0, 1, 2], 10: [10], 20: [20, 21], 30: [30, 31]}
+    rep_edges = spark.createDataFrame([(0, 10), (10, 20)], "da long, db long")
+
+    full_edges = []
+    for ms in members.values():  # cliques
+        full_edges += [(a, b) for a in ms for b in ms if a < b]
+    for ra, rb in [(0, 10), (10, 20)]:  # bipartite bundles
+        full_edges += [(a, b) for a in members[ra] for b in members[rb]]
+    fe = spark.createDataFrame(full_edges, "src long, dst long")
+
+    full = {r["id"]: (r["rank_scaled"], r["degree"])
+            for r in pagerank(fe, iters=3).collect()}
+    lumped = {r["id"]: (r["rank_scaled"], r["degree"], r["n_members"])
+              for r in pagerank_lumped(rep_edges, sizes, iters=3).collect()}
+    expanded = {
+        m: (lumped[rep][0], lumped[rep][1])
+        for rep, ms in members.items()
+        if rep in lumped
+        for m in ms
+    }
+    assert full == expanded

@@ -124,9 +124,10 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         # q34: normalization stack + fingerprint groupBy = one shuffle
         # (mapInArrow NFC is shuffle-free).
         ("q34_dedup_exact", 2),
-        # q36: hash tier agg; the clusters tier's iterative work is cut by
-        # GC-scoped checkpoints, so the final plan must stay flat.
-        ("q36_simhash", 3),
+        # q36: hash tier agg + the collapse's members window / group-size
+        # agg / rep filter (all slim); the clusters/pagerank iterative work
+        # is cut by GC-scoped checkpoints, so the final plan stays flat.
+        ("q36_simhash", 6),
         # q38b: ivf window + int8 coarse window + pq codebook/ADC aggs +
         # re-rank windows; probes, codebook, candidates, and the re-rank
         # attaches all broadcast (measured 7).
