@@ -266,15 +266,23 @@ def minhash_lsh_jaccard(
         # Exact multiset fingerprint, per-row: distinct (already) + sorted
         # shingles joined under a separator no token can contain. Identical
         # fp ⇔ identical shingle set ⇒ identical signature, bands, and
-        # pairwise jaccard against ANY third document.
-        dsa = dsa.withColumn(
-            "fp", F.md5(F.concat_ws("\x01", F.sort_array("sh_arr")))
+        # pairwise jaccard against ANY third document. Carried as TWO
+        # longs (120 bits of the md5), not the hex string: the signature
+        # aggregate hashes this key once per shingle row, and long-pair
+        # grouping keys stay in codegen's fast path where 32-byte strings
+        # don't.
+        fpm = F.md5(F.concat_ws("\x01", F.sort_array("sh_arr")))
+        dsa = (
+            dsa.withColumn("__fpm", fpm)
+            .withColumn("fp1", F.conv(F.substring("__fpm", 1, 15), 16, 10).cast("long"))
+            .withColumn("fp2", F.conv(F.substring("__fpm", 16, 15), 16, 10).cast("long"))
+            .drop("__fpm")
         )
     if materialize != "none":
         dsa = dsa.localCheckpoint(eager=(materialize == "eager"))
 
-    group_key = "fp" if collapse_exact else "doc_id"
-    keys = ["fp", "doc_id"] if collapse_exact else ["doc_id"]
+    group_key = ["fp1", "fp2"] if collapse_exact else ["doc_id"]
+    keys = ["fp1", "fp2", "doc_id"] if collapse_exact else ["doc_id"]
     sh = dsa.select(*keys, F.explode("sh_arr").alias("shingle"))
     src = sh.select(
         *keys,
@@ -285,8 +293,9 @@ def minhash_lsh_jaccard(
     )
     # Keyed on the set fingerprint, clone groups combine MAP-SIDE: one
     # signature (and its min-doc representative) crosses the wire per
-    # distinct shingle set, no matter how many copies exist.
-    sig = src.groupBy(group_key).agg(
+    # distinct shingle set, no matter how many copies exist. The rep id is
+    # itself a unique group key, so everything downstream is id-keyed.
+    sig = src.groupBy(*group_key).agg(
         F.min("doc_id").alias("rep"),
         *[
             F.min(
@@ -306,19 +315,15 @@ def minhash_lsh_jaccard(
             for b in range(n_bands)
         ]
     )
-    bandrows = sig.select(group_key, "rep", F.explode(bands).alias("bb")).select(
-        group_key, "rep", "bb.band_id", "bb.band_key"
+    bandrows = sig.select("rep", F.explode(bands).alias("bb")).select(
+        "rep", "bb.band_id", "bb.band_key"
     )
-    a = bandrows.select(
-        F.col(group_key).alias("ga"), F.col("rep").alias("da"), "band_id", "band_key"
-    )
-    b = bandrows.select(
-        F.col(group_key).alias("gb"), F.col("rep").alias("db"), "band_id", "band_key"
-    )
+    a = bandrows.select(F.col("rep").alias("da"), "band_id", "band_key")
+    b = bandrows.select(F.col("rep").alias("db"), "band_id", "band_key")
     cands = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("da") < F.col("db"))
-        .select("ga", "da", "gb", "db")
+        .select("da", "db")
         .distinct()
     )
     arr_a = dsa.select(F.col("doc_id").alias("da"), F.col("sh_arr").alias("arr_a"))
@@ -334,19 +339,27 @@ def minhash_lsh_jaccard(
         F.broadcast(cands)
         .join(arr_a, "da")
         .join(arr_b, "db")
-        .select("ga", "da", "gb", "db", jac.alias("jaccard"))
+        .select("da", "db", jac.alias("jaccard"))
     )
     if not collapse_exact:
-        return rep_pairs.select("da", "db", "jaccard")
+        return rep_pairs
 
-    # Expansion back to the full pair list, from slim (doc_id, fp) rows only.
-    members = dsa.filter(F.size("sh_arr") > 0).select("doc_id", "fp")
-    ma = members.select(F.col("fp").alias("ga"), F.col("doc_id").alias("ia"))
-    mb = members.select(F.col("fp").alias("gb"), F.col("doc_id").alias("ib"))
+    # Expansion back to the full pair list, from slim (doc_id, rep) rows.
+    from pyspark.sql import Window as _W
+
+    members = (
+        dsa.filter(F.size("sh_arr") > 0)
+        .select("doc_id", "fp1", "fp2")
+        .withColumn("rep", F.min("doc_id").over(_W.partitionBy("fp1", "fp2")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)  # slim (two longs/row); 4 consumers
+    )
+    ma = members.select(F.col("rep").alias("da"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rep").alias("db"), F.col("doc_id").alias("ib"))
     cross = (
-        F.broadcast(rep_pairs.select("ga", "gb", "jaccard"))
-        .join(ma, "ga")
-        .join(mb, "gb")
+        F.broadcast(rep_pairs)
+        .join(ma, "da")
+        .join(mb, "db")
         .select(
             F.least("ia", "ib").alias("da"),
             F.greatest("ia", "ib").alias("db"),
@@ -354,7 +367,8 @@ def minhash_lsh_jaccard(
         )
     )
     within = (
-        ma.join(mb, F.col("ga") == F.col("gb"))
+        ma.withColumnRenamed("da", "rep")
+        .join(mb.withColumnRenamed("db", "rep"), "rep")
         .filter(F.col("ia") < F.col("ib"))
         .select(
             F.col("ia").alias("da"),
