@@ -30,6 +30,11 @@ DEFAULT = (
     "q42_sequence_packing",  # cumulative packing over 5M documents
     "q35_dedup_minhash",     # minhash-LSH dedup over 5M documents
     "q38_ann_topk",          # brute-force ANN over 1M embeddings
+    # the four families the first sweep broke (exact-content collapse):
+    "q36_simhash",           # rep-level CC + lumped PageRank over clone cliques
+    "q37_ngram_jaccard",     # blocked jaccard + fuzzy join
+    "q39b_lsh_buckets",      # sign-LSH near-dup candidates
+    "q40_embedding_dedup",   # embedding-cell dedup
 )
 
 
