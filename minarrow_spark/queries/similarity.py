@@ -387,17 +387,21 @@ def q40_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "near-dup"),
 )
 def q39_similar_pairs(
-    spark: SparkSession, sf_dir: str, max_rows: int = 250_000
+    spark: SparkSession, sf_dir: str, max_rows: int = 50_000
 ) -> DataFrame:
     """Top-20 most-similar embedding pairs corpus-wide (exact all-pairs —
     the oracle/verification tier; the LSH tier below is the scale path).
 
     GUARDED: this is deliberately the registry's one quadratic form (it
     exists to label/verify the approximate tiers), and it broadcasts the
-    full corpus side — so it refuses to run past ``max_rows`` (default
-    250k ≈ 31G pair-sims, the edge of single-cluster-hours territory)
-    rather than melting at scale. Past the guard, use q39b_lsh_buckets
-    (banded sign-LSH, linear-ish) or q40's cell blocking.
+    full corpus side — so it refuses to run past ``max_rows`` rather than
+    melting at scale. The default 50k ≈ 1.25G pair-sims keeps a labeled
+    verification run in the ~1-minute class; the earlier 250k default was
+    measured too permissive — 200k vectors (20G pairs) exceeded 10 min
+    per run on 32 threads at the 100× sweep point. Past the guard, use
+    q39b_lsh_buckets (banded sign-LSH, linear-ish) or q40's cell
+    blocking, or verify on a sample — a labeled tier never needs the
+    full corpus.
 
     Per-vector norms are computed ONCE before the pair join, so each of the
     O(n²) pairs evaluates only the dot product (one array traversal instead
