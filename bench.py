@@ -36,7 +36,9 @@ _X10_DIR = "/root/repo/.scratch/bench_x10"
 _X10_SHIFT = 100_000_000  # divisible by every modulus the queries use (8,10,20,25)
 _X10_COPIES = 10
 # spanning subset: scan-agg, multi-join, LSH dedup, event window, ANN scan,
-# rank window, cumulative packing, stateful sessionization
+# rank window, cumulative packing, stateful sessionization, plus two of the
+# collapse-repaired pair families (sign-LSH buckets; cell dedup) so the
+# recorded bench tracks them round-over-round
 _X10_QUERIES = (
     "q01_pricing_summary",
     "q04_segment_revenue",
@@ -46,6 +48,8 @@ _X10_QUERIES = (
     "q10_window_topk",
     "q42_sequence_packing",
     "q47_sessionization",
+    "q39b_lsh_buckets",
+    "q40_embedding_dedup",
 )
 
 
