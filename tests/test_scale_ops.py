@@ -166,6 +166,33 @@ def test_cell_blocked_exact_collapse_equivalence(spark, sf_dir):
     assert len(rc) > 0
 
 
+def test_collapse_equivalence_mixed_multiplicity(spark, sf_dir):
+    """Uniform 2× cloning can't catch group-size-dependent expansion bugs;
+    this corpus mixes multiplicities 1/2/3 per doc (doc_id mod 3) so
+    groups of every size interact across and within blocks."""
+    from minarrow_spark.operators.dedup import (
+        augment_with_near_dups,
+        minhash_lsh_jaccard,
+    )
+
+    docs = augment_with_near_dups(load_table(spark, sf_dir, "documents"))
+    parts = [docs]
+    for i, m in ((1, 1), (2, 2)):  # doc_id%3==1 → +1 clone, ==2 → +2 clones
+        for j in range(m):
+            parts.append(
+                docs.filter(F.col("doc_id") % 3 == i).withColumn(
+                    "doc_id", F.col("doc_id") + 10_000_000 * (j + 1)
+                )
+            )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    rc = _canon(minhash_lsh_jaccard(corpus, collapse_exact=True))
+    rd = _canon(minhash_lsh_jaccard(corpus, collapse_exact=False))
+    assert rc == rd
+    assert any(j == 1.0 for _, _, j in rc)
+
+
 def test_bpe_token_count_semantics(spark):
     """BPE-ish pre-tokenizer contract (functions/text.py BPE_PATTERN):
     contractions split off, whitespace merges into the following token,
