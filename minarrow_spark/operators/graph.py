@@ -38,8 +38,26 @@ the checkpoint.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _damping_frac(damping: float) -> tuple[int, int]:
+    """Exact rational (num, den) for the damping factor, via its decimal
+    string (0.85 → 17/20) — the basis of the all-integer rounding contract:
+    round-half-up(num·r / (den·dg)) == (2·num·r + den·dg) div (2·den·dg)
+    for positive longs, with no floating point anywhere, so the value is
+    bit-identical in any engine (the q36 r4 driver hash mismatch motivated
+    retiring the double `round` path)."""
+    frac = Fraction(str(damping))
+    return frac.numerator, frac.denominator
+
+
+def _ihalf(num: int, den: int) -> int:
+    """Driver-side exact half-up rounding of num/den (positive ints)."""
+    return (2 * num + den) // (2 * den)
 
 
 def connected_components(
@@ -137,6 +155,14 @@ def pagerank(
     scale / N) plus its incoming contributions. Degrees count symmetrized
     incident edges, so a symmetric graph has no dangling nodes.
 
+    Every `round` above is EXACT INTEGER half-up on a rational: damping is
+    taken as the rational num/den of its decimal string (0.85 = 17/20) and
+    round(num·r/(den·dg)) is evaluated as (2·num·r + den·dg) div
+    (2·den·dg) on longs — no double is ever formed, so the result is
+    bit-identical across engines, partitionings, and JVMs by construction
+    (the previous double-`round` form had a theoretical HALF_UP-vs-binary
+    divergence class between Spark and DuckDB).
+
     Scale shape — the standard BSP loop: per round ONE join of the edge
     table (partitioned on the sender key, stable across rounds) against
     the 2-column rank table, one map-side-combined groupBy on the
@@ -152,19 +178,18 @@ def pagerank(
         eager=False
     )
     n = deg.count()  # O(V) scalar — the only driver-side value
-    base = F.lit(float((1.0 - damping) * scale))  # numerator; /N in-plan
-    r0 = F.round(F.lit(float(scale)) / F.lit(n)).cast("long")
-    ranks = deg.select(F.col("u").alias("id"), r0.alias("r"))
+    dnum, dden = _damping_frac(damping)
+    base = _ihalf((dden - dnum) * scale, dden * n)  # round((1−d)·scale/N)
+    r0 = _ihalf(scale, n)  # round(scale/N)
+    ranks = deg.select(F.col("u").alias("id"), F.lit(r0).cast("long").alias("r"))
+    send = F.expr(
+        f"({2 * dnum} * r + {dden} * dg) div ({2 * dden} * dg)"
+    ).cast("long")
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("id", "u"), "u")
             .join(deg, "u")
-            .select(
-                F.col("v").alias("id"),
-                F.round(F.lit(damping) * F.col("r") / F.col("dg"))
-                .cast("long")
-                .alias("c"),
-            )
+            .select(F.col("v").alias("id"), send.alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
@@ -174,7 +199,7 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.round(base / F.lit(n)).cast("long")
+                    F.lit(base).cast("long")
                     + F.coalesce(F.col("c"), F.lit(0))
                 ).alias("r"),
             )
@@ -244,20 +269,18 @@ def pagerank_lumped(
         .filter(F.col("dg") >= 1)
         .localCheckpoint(eager=True)
     )
-    n = deg.agg(F.sum("cu")).collect()[0][0]  # full-graph N — scalar only
-    base = F.lit(float((1.0 - damping) * scale))
-    r0 = F.round(F.lit(float(scale)) / F.lit(n)).cast("long")
-    ranks = deg.select(F.col("u").alias("id"), r0.alias("r"))
+    n = int(deg.agg(F.sum("cu")).collect()[0][0])  # full-graph N — scalar only
+    dnum, dden = _damping_frac(damping)
+    base = _ihalf((dden - dnum) * scale, dden * n)
+    r0 = _ihalf(scale, n)
+    ranks = deg.select(F.col("u").alias("id"), F.lit(r0).cast("long").alias("r"))
+    send = F.expr(
+        f"({2 * dnum} * r + {dden} * dg) div ({2 * dden} * dg)"
+    ).cast("long")
     for _ in range(iters):
         t = (
             ranks.join(deg.withColumnRenamed("u", "id"), "id")
-            .select(
-                "id",
-                "cu",
-                F.round(F.lit(damping) * F.col("r") / F.col("dg"))
-                .cast("long")
-                .alias("t"),
-            )
+            .select("id", "cu", send.alias("t"))
         )
         recv = (
             e.join(t.withColumnRenamed("id", "u"), "u")
@@ -270,7 +293,7 @@ def pagerank_lumped(
             .select(
                 "id",
                 (
-                    F.round(base / F.lit(n)).cast("long")
+                    F.lit(base).cast("long")
                     + F.coalesce(F.col("c"), F.lit(0))
                     + (F.col("cu") - 1) * F.col("t")
                 ).alias("r"),

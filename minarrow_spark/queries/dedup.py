@@ -244,31 +244,38 @@ _PR_ITERS, _PR_DAMP, _PR_SCALE = 3, 0.85, 1_000_000_000
 
 
 def _pagerank_ctes() -> str:
-    """q36 'pagerank' tier replay: the operators/graph.pagerank integer
-    contract over the dedup graph's symmetrized edges (`sym`/`verts` CTEs)
-    — per-edge rounding before exact long sums, literals emitted via repr
-    so both engines parse the identical doubles."""
-    damp = repr(_PR_DAMP)
-    base = repr(float((1.0 - _PR_DAMP) * _PR_SCALE))
+    """q36 'pagerank' tier replay: the operators/graph.pagerank ALL-INTEGER
+    contract over the dedup graph's symmetrized edges (`sym`/`verts` CTEs).
+    Every round() is exact rational half-up on longs — damping 0.85 = 17/20,
+    round(num·r/(den·dg)) = (2·num·r + den·dg) // (2·den·dg) — so no double
+    is ever formed on either engine (retired the repr-double round path
+    after the r4 driver hash flake; DuckDB `//` on BIGINTs is floor
+    division, which equals the div-form half-up for positive operands)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(_PR_DAMP))
+    dnum, dden = frac.numerator, frac.denominator
     ctes = [
         "pdeg AS (SELECT u, COUNT(*) AS dg FROM sym GROUP BY u)",
         # count pdeg, not verts: the verts CTE keeps duplicates (UNION
         # dedup is not guaranteed mid-recursive-WITH; harmless for the
         # closure, wrong for N) — pdeg rows == Spark's deg.count()
-        "pnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pdeg)",
-        f"ppr0 AS (SELECT u AS id, CAST(round({float(_PR_SCALE)!r} / n) AS BIGINT)"
-        " AS r FROM pdeg, pnn)",
+        "pnn AS (SELECT COUNT(*) AS n FROM pdeg)",
+        f"ppr0 AS (SELECT u AS id, CAST(({2 * _PR_SCALE} + n) // (2 * n)"
+        " AS BIGINT) AS r FROM pdeg, pnn)",
     ]
     for t in range(_PR_ITERS):
         ctes.append(
             f"pct{t} AS (SELECT s.v AS id, "
-            f"SUM(CAST(round({damp} * pr.r / d.dg) AS BIGINT)) AS c "
+            f"SUM(CAST(({2 * dnum} * pr.r + {dden} * d.dg) // "
+            f"({2 * dden} * d.dg) AS BIGINT)) AS c "
             f"FROM sym s JOIN ppr{t} pr ON pr.id = s.u "
             f"JOIN pdeg d ON d.u = s.u GROUP BY s.v)"
         )
         ctes.append(
             f"ppr{t + 1} AS (SELECT d.u AS id, "
-            f"CAST(round({base} / n) AS BIGINT) + COALESCE(c.c, 0) AS r "
+            f"CAST(({2 * (dden - dnum) * _PR_SCALE} + {dden} * n) // "
+            f"({2 * dden} * n) AS BIGINT) + COALESCE(c.c, 0) AS r "
             f"FROM pdeg d CROSS JOIN pnn LEFT JOIN pct{t} c ON c.id = d.u)"
         )
     return ", ".join(ctes)

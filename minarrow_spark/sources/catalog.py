@@ -47,14 +47,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # TIMESTAMP(NANOS) is illegal for Spark's parquet reader; this legacy
-        # conf (runtime-settable) reads it as epoch-nanos long instead. Set
-        # here, not only in session defaults, so driver-owned sessions work.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts math (unix_micros, casts) must agree with DuckDB's naive-as-UTC
-        # epoch_us; pin the tz here too so driver-owned sessions match.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Set UNCONDITIONALLY on every load (idempotent, runtime-settable), not
+    # only when `events` loads: in a shared driver session the first query
+    # to touch any table must leave the session in the same state regardless
+    # of registration order — an events-gated set made timestamp semantics
+    # depend on whether an events query had already run (r4 verdict #2).
+    #   nanosAsLong: TIMESTAMP(NANOS) is illegal for Spark's parquet reader;
+    #   the legacy conf reads it as epoch-nanos long instead.
+    #   timeZone=UTC: ts math (unix_micros, casts) must agree with DuckDB's
+    #   naive-as-UTC epoch_us.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         dt = df.schema["ts"].dataType
