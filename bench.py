@@ -73,10 +73,19 @@ def _build_x10(
 
     from minarrow_spark.sources.catalog import TABLES, table_path
 
+    # The marker must pin EVERYTHING that shaped the build — src, replica
+    # count, and table subset — or a directory built with different
+    # parameters would be silently reused at the wrong scale.
+    build_sig = {
+        "src": sf_dir,
+        "copies": copies,
+        "tables": sorted(tables) if tables else None,
+    }
     marker = os.path.join(out_dir, "_MARKER.json")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if json.load(fh).get("src") == sf_dir:
+            old = json.load(fh)
+            if {k: old.get(k) for k in build_sig} == build_sig:
                 return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -99,7 +108,7 @@ def _build_x10(
             out = out.unionByName(rep)
         out.write.mode("overwrite").parquet(table_path(out_dir, name))
     with open(marker, "w") as fh:
-        json.dump({"src": sf_dir, "copies": copies}, fh)
+        json.dump(build_sig, fh)
 
 
 def _run_x10(spark, qs, sf: float) -> dict:

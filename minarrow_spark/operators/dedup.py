@@ -264,14 +264,16 @@ def minhash_lsh_jaccard(
     dsa = doc_shingle_arrays(docs, k=k)
     if collapse_exact:
         # Exact multiset fingerprint, per-row: distinct (already) + sorted
-        # shingles joined under a separator no token can contain. Identical
-        # fp ⇔ identical shingle set ⇒ identical signature, bands, and
-        # pairwise jaccard against ANY third document. Carried as TWO
-        # longs (120 bits of the md5), not the hex string: the signature
-        # aggregate hashes this key once per shingle row, and long-pair
-        # grouping keys stay in codegen's fast path where 32-byte strings
-        # don't.
-        fpm = F.md5(F.concat_ws("\x01", F.sort_array("sh_arr")))
+        # shingles serialized as JSON — escaping makes array→string
+        # INJECTIVE (a raw separator-join is not: whitespace-split tokens
+        # can legally contain any non-space byte, including the would-be
+        # separator). Identical fp ⇔ identical shingle set ⇒ identical
+        # signature, bands, and pairwise jaccard against ANY third
+        # document. Carried as TWO longs (120 bits of the md5), not the
+        # hex string: the signature aggregate hashes this key once per
+        # shingle row, and long-pair grouping keys stay in codegen's fast
+        # path where 32-byte strings don't.
+        fpm = F.md5(F.to_json(F.sort_array("sh_arr")))
         dsa = (
             dsa.withColumn("__fpm", fpm)
             .withColumn("fp1", F.conv(F.substring("__fpm", 1, 15), 16, 10).cast("long"))
@@ -352,8 +354,12 @@ def minhash_lsh_jaccard(
         .select("doc_id", "fp1", "fp2")
         .withColumn("rep", F.min("doc_id").over(_W.partitionBy("fp1", "fp2")))
         .select("doc_id", "rep")
-        .localCheckpoint(eager=True)  # slim (two longs/row); 4 consumers
     )
+    if materialize != "none":
+        # slim (two longs/row); 4 consumers. In the stateless mode the
+        # window recomputes per branch instead — materialize="none" promises
+        # NO checkpoint storage use, collapse included.
+        members = members.localCheckpoint(eager=True)
     ma = members.select(F.col("rep").alias("da"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("rep").alias("db"), F.col("doc_id").alias("ib"))
     cross = (

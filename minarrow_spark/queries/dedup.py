@@ -577,12 +577,17 @@ def q37_ngram_jaccard(
         "source",
         (F.col("n_chars") / bucket_chars).cast("bigint").alias("blk"),
         F.array_distinct(gram_arr).alias("garr"),
+        # JSON-serialize the (text, source, block) triple: escaping makes
+        # the encoding injective (a raw separator-join is not — normalized
+        # text keeps every non-whitespace byte) and NULL source stays
+        # distinct from empty-string source.
         F.md5(
-            F.concat_ws(
-                "\x01",
-                F.col("t"),
-                F.col("source"),
-                (F.col("n_chars") / bucket_chars).cast("bigint").cast("string"),
+            F.to_json(
+                F.array(
+                    F.col("t"),
+                    F.col("source"),
+                    (F.col("n_chars") / bucket_chars).cast("bigint").cast("string"),
+                )
             )
         ).alias("fp"),
     ).localCheckpoint(eager=True)

@@ -329,7 +329,14 @@ def q20_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rank arithmetic — exact ints < 2^53, one IEEE division both
             # engines share: PERCENT_RANK = (rank-1)/(n-1), CUME_DIST =
             # rank/n (each row is its own peer group).
-            ((F.col("grank") - 1).cast("double") / (F.col("__n") - 1).cast("double"))
+            # n == 1 guard: SQL PERCENT_RANK() defines the single-row case
+            # as 0, while 0.0/0.0 would be NaN — match the standard.
+            F.when(
+                F.col("__n") > 1,
+                (F.col("grank") - 1).cast("double")
+                / (F.col("__n") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
             .alias("pct_rank"),
             (F.col("grank").cast("double") / F.col("__n").cast("double"))
             .alias("cum_dist"),
