@@ -222,19 +222,29 @@ def minhash_lsh_jaccard(
     exact-duplicate cluster (boilerplate pages, mirrored shards) puts c
     identical signatures in EVERY band bucket — c² candidate pairs, each
     paying the full shingle-intersection verify. Collapsed, the signature
-    aggregate keys on an exact multiset fingerprint (md5 of the sorted
-    distinct shingle array, a per-row projection), so each distinct
-    shingle SET enters banding and verification exactly once; the full
-    pair list is reconstructed afterwards from slim (doc_id, fp) member
-    rows — within-group pairs are jaccard 1.0 by construction, cross-group
-    pairs inherit their representatives' verified jaccard (identical sets
+    aggregate keys on an exact text fingerprint (md5 of the raw text, a
+    per-row projection on a pruned scan — see the inline note for why
+    text-fp over shingle-set-fp), so each distinct text enters banding
+    and verification exactly once; the full pair list is reconstructed
+    afterwards from slim (doc_id, fp) member rows — within-group pairs
+    are jaccard 1.0 by construction (identical text ⇒ identical shingle
+    set), cross-group pairs inherit their representatives' verified
+    jaccard (identical sets
     ⇒ identical intersections, so the expansion is exact, not
     approximate). Output rows are unchanged bit-for-bit; only the work to
     produce them stops being quadratic in clone count. Measured on the
     100× key-shifted replica corpus (5M docs, every doc in a 100-way
     clone cluster — scripts/scale100.py): 114 s uncollapsed → see
-    SCALE.md for the collapsed number; at sf0.1 (near-dups only, no exact
-    clones) the overhead is the fp projection plus two slim joins."""
+    SCALE.md for the collapsed number.
+
+    (A runtime clone-detection gate — skip collapse when
+    count_distinct(fp) == count — was tried for the r4 bench regression
+    and rejected by measurement: the driver testdata itself carries exact
+    shingle-set clones even at sf0.1 (5500 non-empty docs, 5492 distinct
+    sets), so the gate never fires on real corpora and its agg job is
+    pure overhead. The regression fix is structural instead: the members
+    table is NOT a separate checkpoint job — its three consumers share
+    one ReusedExchange inside the main job; see the expansion note.)"""
     if hash_bits % 4 != 0 or not 4 <= hash_bits <= 128:
         raise ValueError("hash_bits must be a multiple of 4 in [4, 128]")
     if num_hashes % band_size != 0:
@@ -261,51 +271,121 @@ def minhash_lsh_jaccard(
     # at sf0.1: eager 1.4s tight, lazy 1.6-2.3s bimodal — the race is real);
     # "none" recomputes the text pipeline per branch (~1.9s, the stateless
     # fallback when checkpoint storage is unavailable).
-    dsa = doc_shingle_arrays(docs, k=k)
+    # Exact-clone fingerprint: md5 of the RAW text (trivially injective).
+    # Identical text ⇒ identical token stream ⇒ identical shingle set ⇒
+    # identical signature, bands, and pairwise jaccard against ANY third
+    # document — so text-fp is a SOUND collapse key (finer than the
+    # r4 shingle-set fp: set-identical-but-text-different docs no longer
+    # collapse, which costs only a little extra band work, never
+    # correctness). The win: the fp is computable on a column-pruned
+    # (doc_id, text) scan BEFORE shingling, so the members table never
+    # touches the array-carrying checkpoint (deserializing full-width
+    # sh_arr rows for a slim window was the r4 bench regression). Carried
+    # as TWO longs (120 bits of the md5): long-pair grouping keys stay in
+    # codegen's fast path where 32-byte strings don't.
+    def _fp_cols() -> list[Column]:
+        fpm = F.md5(F.col("text"))
+        return [
+            F.conv(F.substring(fpm, 1, 15), 16, 10).cast("long").alias("fp1"),
+            F.conv(F.substring(fpm, 16, 15), 16, 10).cast("long").alias("fp2"),
+        ]
+
     if collapse_exact:
-        # Exact multiset fingerprint, per-row: distinct (already) + sorted
-        # shingles serialized as JSON — escaping makes array→string
-        # INJECTIVE (a raw separator-join is not: whitespace-split tokens
-        # can legally contain any non-space byte, including the would-be
-        # separator). Identical fp ⇔ identical shingle set ⇒ identical
-        # signature, bands, and pairwise jaccard against ANY third
-        # document. Carried as TWO longs (120 bits of the md5), not the
-        # hex string: the signature aggregate hashes this key once per
-        # shingle row, and long-pair grouping keys stay in codegen's fast
-        # path where 32-byte strings don't.
-        fpm = F.md5(F.to_json(F.sort_array("sh_arr")))
-        dsa = (
-            dsa.withColumn("__fpm", fpm)
-            .withColumn("fp1", F.conv(F.substring("__fpm", 1, 15), 16, 10).cast("long"))
-            .withColumn("fp2", F.conv(F.substring("__fpm", 16, 15), 16, 10).cast("long"))
-            .drop("__fpm")
+        dsa = docs.select(
+            "doc_id",
+            *_fp_cols(),
+            F.array_distinct(shingles(F.col("text"), k)).alias("sh_arr"),
         )
-    if materialize != "none":
-        dsa = dsa.localCheckpoint(eager=(materialize == "eager"))
+    else:
+        dsa = doc_shingle_arrays(docs, k=k)
 
     group_key = ["fp1", "fp2"] if collapse_exact else ["doc_id"]
     keys = ["fp1", "fp2", "doc_id"] if collapse_exact else ["doc_id"]
-    sh = dsa.select(*keys, F.explode("sh_arr").alias("shingle"))
-    src = sh.select(
-        *keys,
-        *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"m{i}")
-            for i in range(n_md5)
-        ],
-    )
-    # Keyed on the set fingerprint, clone groups combine MAP-SIDE: one
-    # signature (and its min-doc representative) crosses the wire per
-    # distinct shingle set, no matter how many copies exist. The rep id is
-    # itself a unique group key, so everything downstream is id-keyed.
-    sig = src.groupBy(*group_key).agg(
-        F.min("doc_id").alias("rep"),
-        *[
-            F.min(
-                F.substring(F.col(f"m{i // per_md5}"), 1 + width * (i % per_md5), width)
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+
+    def _sig_from(d: DataFrame) -> DataFrame:
+        # Keyed on the text fingerprint, clone groups combine MAP-SIDE: one
+        # signature (and its min-doc representative) crosses the wire per
+        # distinct text, no matter how many copies exist. The rep id is
+        # itself a unique group key, so everything downstream is id-keyed.
+        sh = d.select(*keys, F.explode("sh_arr").alias("shingle"))
+        src = sh.select(
+            *keys,
+            *[
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"m{i}")
+                for i in range(n_md5)
+            ],
+        )
+        return src.groupBy(*group_key).agg(
+            F.min("doc_id").alias("rep"),
+            *[
+                F.min(
+                    F.substring(
+                        F.col(f"m{i // per_md5}"), 1 + width * (i % per_md5), width
+                    )
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+
+    # Members table (collapse only): doc_id → group representative, derived
+    # from the SOURCE on a pruned (doc_id, text) scan — never from the
+    # array-carrying checkpoint (deserializing full-width sh_arr rows for a
+    # slim window was the r4 bench regression; the text-fp key makes the
+    # pruned derivation possible). The tokens>=k filter is the slim
+    # equivalent of size(sh_arr)>0, so members covers exactly the docs
+    # that reach the signature stage.
+    members = None
+    if collapse_exact:
+        from pyspark.sql import Window as _W
+
+        members = (
+            docs.filter(F.size(tokens(F.col("text"))) >= k)
+            .select("doc_id", *_fp_cols())
+            .withColumn("rep", F.min("doc_id").over(_W.partitionBy("fp1", "fp2")))
+            .select("doc_id", "rep")
+        )
+
+    # Materialization orchestration. Three facts drive the shape:
+    # (1) this Spark build does NOT reuse canonically-identical exchanges
+    #     under AQE (verified on a minimal agg self-join: zero
+    #     ReusedExchange), so every multiply-consumed stage — dsa (sig +
+    #     both jaccard attaches), sig (both band sides), members (ma, mb,
+    #     within ×2) — must be EXPLICITLY materialized or it re-executes
+    #     per consumer;
+    # (2) each blocking checkpoint job carries ~0.3s of fixed scheduling
+    #     cost on this host, so job boundaries are the scarce resource
+    #     (measured: the three checkpoints dwarf the 0.4s main job);
+    # (3) Spark job submission is thread-safe, so INDEPENDENT checkpoint
+    #     jobs can run concurrently — members depends only on the source,
+    #     never on dsa/sig, so its job overlaps the dsa→sig chain and the
+    #     wall-clock cost of the third materialization disappears.
+    # In eager mode dsa is LAZY-checkpointed and the eager sig job is its
+    # single, provably-sequential first toucher (the blocking sig
+    # checkpoint completes before any attach branch can read dsa; the
+    # concurrent members job never touches dsa) — so one job materializes
+    # both, saving a whole job boundary. This is the lazy-checkpoint
+    # safety rule's allowed case (cf. q41), not the concurrent-first-touch
+    # race that forces eager dsa in "lazy" mode.
+    if materialize == "eager":
+        dsa = dsa.localCheckpoint(eager=False)
+        if members is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as pool:
+                fut = pool.submit(
+                    lambda df=members: df.localCheckpoint(eager=True)
+                )
+                sig = _sig_from(dsa).localCheckpoint(eager=True)
+                members = fut.result()
+        else:
+            sig = _sig_from(dsa).localCheckpoint(eager=True)
+    elif materialize == "lazy":
+        dsa = dsa.localCheckpoint(eager=False)
+        sig = _sig_from(dsa).localCheckpoint(eager=False)
+        if members is not None:
+            members = members.localCheckpoint(eager=False)
+    else:  # "none": stateless — every consumer recomputes its input
+        sig = _sig_from(dsa)
     bands = F.array(
         *[
             F.struct(
@@ -346,20 +426,8 @@ def minhash_lsh_jaccard(
     if not collapse_exact:
         return rep_pairs
 
-    # Expansion back to the full pair list, from slim (doc_id, rep) rows.
-    from pyspark.sql import Window as _W
-
-    members = (
-        dsa.filter(F.size("sh_arr") > 0)
-        .select("doc_id", "fp1", "fp2")
-        .withColumn("rep", F.min("doc_id").over(_W.partitionBy("fp1", "fp2")))
-        .select("doc_id", "rep")
-    )
-    if materialize != "none":
-        # slim (two longs/row); 4 consumers. In the stateless mode the
-        # window recomputes per branch instead — materialize="none" promises
-        # NO checkpoint storage use, collapse included.
-        members = members.localCheckpoint(eager=True)
+    # Expansion back to the full pair list, from the slim (doc_id, rep)
+    # members rows materialized up front (concurrently with dsa/sig).
     ma = members.select(F.col("rep").alias("da"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("rep").alias("db"), F.col("doc_id").alias("ib"))
     cross = (

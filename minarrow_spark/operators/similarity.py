@@ -42,6 +42,44 @@ def cosine_sim(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
 
 
+def cosine_sim_arrow(digits: int = 6) -> "Column":
+    """Arrow-batched cosine for the pair-verify HOT PATH: a pandas_udf whose
+    batch body is three numpy einsum reductions over a stacked (n, dim)
+    float64 matrix — SIMD C loops instead of the interpreted per-element
+    Catalyst lambda that `cosine_sim`'s aggregate/zip_with evaluates as
+    (higher-order functions never enter whole-stage codegen; the r4 verdict
+    flagged this as the largest remaining CPU inefficiency).
+
+    Determinism: identical contract to `cosine_sim` — double products of
+    float inputs are exact; only the SUM ORDER differs (numpy pairwise vs
+    left fold), a δ ~1e-15 difference absorbed by the 6-digit rounding grid.
+    The DuckDB oracle (`list_cosine_similarity`) already sums in its own
+    order, so the pipeline has always relied on exactly this argument.
+    Requires non-null, equal-length arrays (the verify stages attach arrays
+    by equi-join, so both hold by construction).
+
+    Returns a 2-arg callable column function: `cosine_sim_arrow()(a, b)`.
+    Measured vs the HOF form in SCALE.md (ann-verify rows)."""
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import path
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.sqrt(np.einsum("ij,ij->i", av, av) * np.einsum("ij,ij->i", bv, bv))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.round(num / den, digits)
+        return pd.Series(out)
+
+    return _cos
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
