@@ -36,9 +36,10 @@ _X10_DIR = "/root/repo/.scratch/bench_x10"
 _X10_SHIFT = 100_000_000  # divisible by every modulus the queries use (8,10,20,25)
 _X10_COPIES = 10
 # spanning subset: scan-agg, multi-join, LSH dedup, event window, ANN scan,
-# rank window, cumulative packing, stateful sessionization, plus two of the
-# collapse-repaired pair families (sign-LSH buckets; cell dedup) so the
-# recorded bench tracks them round-over-round
+# rank window, cumulative packing, stateful sessionization, plus ALL the
+# collapse-repaired pair/graph families (exact dedup, simhash+graph, n-gram
+# jaccard, sign-LSH buckets, cell dedup) so the recorded bench tracks every
+# collapse family round-over-round (r4 verdict #5)
 _X10_QUERIES = (
     "q01_pricing_summary",
     "q04_segment_revenue",
@@ -50,6 +51,9 @@ _X10_QUERIES = (
     "q47_sessionization",
     "q39b_lsh_buckets",
     "q40_embedding_dedup",
+    "q34_dedup_exact",
+    "q36_simhash",
+    "q37_ngram_jaccard",
 )
 
 

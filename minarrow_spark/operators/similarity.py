@@ -14,6 +14,8 @@ are exact and the left-fold sum is deterministic.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves type hints in module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,7 +62,6 @@ def cosine_sim_arrow(digits: int = 6) -> "Column":
 
     Returns a 2-arg callable column function: `cosine_sim_arrow()(a, b)`.
     Measured vs the HOF form in SCALE.md (ann-verify rows)."""
-    import pandas as pd  # noqa: PLC0415 — keep pandas off the import path
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -164,6 +165,13 @@ def cell_blocked_pairs(
     Output is bit-identical either way (pinned by test); measured at the
     100× replica point (1.1M vectors, 100-way clone groups): 115 s → see
     SCALE.md."""
+    # Pair verify is the CPU hot path (every colliding pair pays a full
+    # dim-length cosine): the Arrow-batched numpy form measured 27% faster
+    # end-to-end than the interpreted HOF lambda at the 10× point (q40
+    # 2.93s → 2.14s; SCALE.md) — same rounding contract, see
+    # cosine_sim_arrow. (The same swap REGRESSED q39b by ~58%, so this is
+    # a per-callsite measured choice, not a global one.)
+    vcos = cosine_sim_arrow(6)
     if not collapse_exact:
         c = corpus.withColumn("cell", sign_cell(F.col(vec_col), cell_lo, cell_hi))
         a = c.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), "cell")
@@ -171,7 +179,7 @@ def cell_blocked_pairs(
         return (
             a.join(b, "cell")
             .filter(F.col("va") < F.col("vb"))
-            .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
+            .select("va", "vb", vcos(F.col("ea"), F.col("eb")).alias("sim"))
             .filter(F.col("sim") >= threshold)
         )
 
@@ -195,7 +203,7 @@ def cell_blocked_pairs(
     rep_pairs = (
         a.join(b, "cell")
         .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", cosine_sim(F.col("ea"), F.col("eb")).alias("sim"))
+        .select("va", "vb", vcos(F.col("ea"), F.col("eb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
     m1 = members.select(F.col("rep").alias("va"), F.col("id").alias("ia"))

@@ -456,28 +456,47 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q25_minmax_strings",
     oracle="""
-    SELECT p_brand,
-           min(p_name) AS first_name,
-           max(p_name) AS last_name,
-           min(p_type) AS first_type,
-           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
-           string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types_joined
-    FROM part
-    GROUP BY p_brand
+    WITH dict AS (
+      SELECT value, CAST(dense_rank() OVER (ORDER BY value) - 1 AS INT) AS code
+      FROM (SELECT DISTINCT p_type AS value FROM part)
+    ),
+    agg AS (
+      SELECT p_brand,
+             min(p_name) AS first_name,
+             max(p_name) AS last_name,
+             min(p_type) AS first_type,
+             CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+             string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types_joined
+      FROM part
+      GROUP BY p_brand
+    )
+    SELECT a.*, d.code AS first_type_code
+    FROM agg a JOIN dict d ON d.value = a.first_type
     """,
-    tags=("A1", "A2", "A3", "T13"),
+    tags=("A1", "A2", "A3", "T13", "T17"),
 )
 def q25_minmax_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max over strings and categoricals (reference `min_string_array`
-    `string.rs:941` / categorical `string.rs:999` — one StringType path here)."""
+    `string.rs:941` / categorical `string.rs:999` — one StringType path here).
+
+    `first_type_code` is the dictionary-code tier (T17 — reference
+    StringArray→CategoricalArray interning, `variants/string.rs:439` /
+    `categorical.rs:103`): p_type dictionary-encoded to dense 0-based codes
+    (operators/categorical.py — sorted-order contract, two-phase global
+    ranks, broadcast attach) and carried through the aggregate with min_by,
+    oracle-replayed as `dense_rank() over (order by value) − 1`."""
     p = T(spark, sf_dir, "part")
-    return p.groupBy("p_brand").agg(
+    from minarrow_spark.operators.categorical import dictionary_encode
+
+    enc, _dic = dictionary_encode(p, "p_type")
+    return enc.groupBy("p_brand").agg(
         F.min("p_name").alias("first_name"),
         F.max("p_name").alias("last_name"),
         F.min("p_type").alias("first_type"),
         F.countDistinct("p_type").alias("n_types"),
         # T13 join-to-delimited-string (`string.rs:1889`): sort for determinism
         F.concat_ws("|", F.array_sort(F.collect_set("p_type"))).alias("types_joined"),
+        F.min_by("p_type_code", "p_type").alias("first_type_code"),
     )
 
 

@@ -191,6 +191,18 @@ class MinTable:
     def write_parquet(self, path: str, mode: str = "overwrite") -> None:
         self.df.write.mode(mode).parquet(path)
 
+    # -- cube (third-dimension stacking; reference cube.rs) -----------------
+
+    def stack_on(self, *axis_cols: str, name: str = "") -> "MinCube":
+        """View this table as a cube indexed by ``axis_cols`` — the
+        reference's `Cube.set_third_dim_index` (`cube.rs:427-432`) applied
+        to an already-unified table. Validates the index exists in the
+        schema (the reference's `validate_third_dim_index`)."""
+        missing = [c for c in axis_cols if c not in self.df.columns]
+        if missing:
+            raise KeyError(f"third-dim index column(s) not in schema: {missing}")
+        return MinCube(self.df, list(axis_cols), name=name)
+
     # -- passthrough --------------------------------------------------------
 
     def __getattr__(self, name: str) -> Any:
@@ -208,3 +220,98 @@ class MinTable:
 
     def __repr__(self) -> str:
         return f"MinTable({', '.join(self.df.columns)})"
+
+
+class MinCube:
+    """Tables stacked on a third-dimension index — the reference's `Cube`
+    (`/root/reference/src/structs/cube.rs:77`: a `Vec<Arc<Table>>` plus
+    `third_dim_index` column names and a key→position `resolver`),
+    re-expressed Spark-first: ONE DataFrame carrying the axis column(s),
+    where each "table in the vec" is a partition-pruned slice. This keeps
+    the reference's purpose — compare snapshots without losing the
+    underlying grain — while the storage idiom (partition column) is what
+    actually scales: written out partitioned by the axis, `table(key)`
+    reads exactly one partition directory.
+
+    The resolver is `keys()` (distinct axis values, sorted) — like the
+    reference's HashMap it is axis-cardinality-sized metadata, the one
+    deliberately driver-side piece. Slices come back axis-free, matching
+    the reference where member tables don't carry the index.
+    """
+
+    __slots__ = ("df", "axis_cols", "name")
+
+    def __init__(self, df: DataFrame, axis_cols: list[str], name: str = ""):
+        object.__setattr__(self, "df", df)
+        object.__setattr__(self, "axis_cols", list(axis_cols))
+        object.__setattr__(self, "name", name)
+
+    @classmethod
+    def stack(
+        cls,
+        tables: dict[Any, "MinTable | DataFrame"],
+        axis_col: str = "axis",
+        name: str = "",
+    ) -> "MinCube":
+        """Build a cube from keyed member tables (`Cube::new` +
+        `push`/resolver maintenance, `cube.rs:96,427`): each table gets its
+        key as the axis column, members union by name."""
+        from pyspark.sql import functions as F
+
+        if not tables:
+            raise ValueError("MinCube.stack needs at least one table")
+        dfs = []
+        for key, t in tables.items():
+            d = t.df if isinstance(t, MinTable) else t
+            dfs.append(d.withColumn(axis_col, F.lit(key)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return cls(out, [axis_col], name=name)
+
+    def third_dim_index(self) -> list[str]:
+        return list(self.axis_cols)
+
+    def keys(self) -> list[tuple]:
+        """Sorted distinct axis values (the resolver's key set). Axis
+        cardinality is snapshot-count-sized — driver-side by design."""
+        return [
+            tuple(r)
+            for r in self.df.select(*self.axis_cols)
+            .distinct()
+            .orderBy(*self.axis_cols)
+            .collect()
+        ]
+
+    def table(self, *key: Any) -> "MinTable":
+        """The member table at ``key`` (`cube.rs` resolver lookup), without
+        the axis columns — a partition-pruned filter, O(slice) at rest."""
+        from pyspark.sql import functions as F
+
+        if len(key) != len(self.axis_cols):
+            raise KeyError(
+                f"cube indexed by {self.axis_cols}, got {len(key)} key part(s)"
+            )
+        cond = F.lit(True)
+        for c, v in zip(self.axis_cols, key):
+            cond = cond & (F.col(c) == F.lit(v))
+        return MinTable(self.df.filter(cond).drop(*self.axis_cols))
+
+    def tables(self):
+        """Iterate (key, MinTable) in sorted key order (`Cube::tables`)."""
+        for key in self.keys():
+            yield key, self.table(*key)
+
+    def col_across(self, name: str) -> DataFrame:
+        """A column viewed across every member table, keyed by the axis
+        (`Cube::col` iteration, `cube.rs:415`)."""
+        if name not in self.df.columns:
+            raise KeyError(f"column {name!r} not in cube schema")
+        return self.df.select(*self.axis_cols, name)
+
+    def to_table(self, axis_cols: bool = True) -> "MinTable":
+        """Collapse back to the unified grain table."""
+        return MinTable(self.df if axis_cols else self.df.drop(*self.axis_cols))
+
+    def __repr__(self) -> str:
+        return f"MinCube(axis={self.axis_cols}, cols={self.df.columns})"

@@ -31,7 +31,7 @@ EXTRA = {
     "M3": "folded into codegen: `a*b+c` in q01/q04 revenue expressions (Catalyst fuses; no explicit FMA)",
     "M5": "implicit everywhere (Catalyst type coercion); pinned by q23 mixed int/double expressions",
     "M6": "q23/q27 scalar⊕column expressions (`col + lit`)",
-    "T17": "identity at the logical level (SURVEY §1.1 CategoricalArray row); dictionary encoding is physical (Parquet/Tungsten)",
+    "T17": "operators/categorical.py dictionary_encode/decode (dense codes, sorted-order contract; q25 first_type_code tier, oracle dense_rank) + tests/test_categorical.py round-trip; plus the logical-identity note (SURVEY §1.1)",
     "T20": "q17_crosstab (same kernel as A5)",
     "U3": "streaming ingest consolidation (`coalesce`) — streaming/ingest.py replay_dir; inherited `df.coalesce`",
     "ST1": "q46 rollup tier (batch=<id> partial writes, driver oracle-checked); streaming/ingest.py `read_event_stream` + tests/test_streaming.py",
@@ -131,7 +131,14 @@ def main() -> None:
     out.append(
         "| incremental streaming ANN index (cell-partitioned, int8 at-rest, "
         "exactly-once) | streaming/ann.py — batch-twin equivalence + first-"
-        "batch-empty + replay idempotence pinned in tests/test_streaming.py |"
+        "batch-empty + replay idempotence pinned in tests/test_streaming.py; "
+        "kill-and-restart exactly-once (torn-batch overwrite) pinned for the "
+        "dedup stream in test_streaming_dedup_kill_restart_exactly_once |"
+    )
+    out.append(
+        "| cube / third-dimension table stacking (reference cube.rs) | "
+        "table.py MinCube (stack / stack_on / resolver keys / per-axis "
+        "slices / col_across) + tests/test_table.py::test_cube_stack_and_slice |"
     )
 
     with open("COVERAGE.md", "w") as f:

@@ -474,3 +474,72 @@ def test_streaming_ann_matches_batch_twin(spark, tmp_path):
         for r in neighbors(spark, out).collect()
     )
     assert again == want
+
+
+def test_streaming_dedup_kill_restart_exactly_once(spark, tmp_path):
+    """Exactly-once under failure (r4 verdict #8): kill the stream mid-way,
+    simulate the torn-batch crash window — a foreachBatch writer that
+    finished its output/state writes but died BEFORE the checkpoint
+    committed the offset — then restart from the same checkpoint. The
+    restarted stream must replay the torn batch id over its own
+    directories (overwrite semantics) and the final verdicts must equal
+    the one-shot batch twin exactly."""
+    import shutil
+
+    from minarrow_spark.operators.dedup import augment_with_near_dups
+    from minarrow_spark.streaming.dedup import (
+        batch_twin,
+        dedup_writer,
+        streaming_dedup,
+        verdicts,
+    )
+    from minarrow_spark.streaming.ingest import replay_frame_dir
+    from tests.conftest import SF_SMALL
+
+    docs = augment_with_near_dups(
+        spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    ).select("doc_id", "text")
+    staged = replay_frame_dir(docs, "doc_id", n_chunks=5, base_dir=str(tmp_path / "r"))
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    chunks = sorted(p for p in os.listdir(staged) if p.startswith("chunk="))
+    assert len(chunks) == 5
+
+    schema = spark.read.parquet(os.path.join(staged, chunks[0])).schema
+
+    def start_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(live)
+        )
+        return streaming_dedup(stream, state, out, ck)
+
+    state, out, ck = (str(tmp_path / d) for d in ("state", "out", "ck"))
+
+    # phase 1: only chunks 0-1 visible; drain and "crash" (query ends)
+    for cdir in chunks[:2]:
+        shutil.copytree(os.path.join(staged, cdir), os.path.join(live, cdir))
+    start_stream().awaitTermination()
+    committed = {p for p in os.listdir(out) if p.startswith("batch=")}
+    assert committed == {"batch=0", "batch=1"}
+
+    # phase 2: the torn batch — chunk 2 arrives, the writer completes BOTH
+    # directory writes for batch id 2, but no checkpoint commit happens
+    shutil.copytree(os.path.join(staged, chunks[2]), os.path.join(live, chunks[2]))
+    torn = spark.read.parquet(os.path.join(live, chunks[2]))
+    dedup_writer(state, out)(torn, 2)
+    assert os.path.isdir(os.path.join(state, "batch=2"))  # torn state on disk
+
+    # phase 3: the rest arrives; restart from the SAME checkpoint — the
+    # source re-plans batch 2 from the undiscovered files and the writer
+    # overwrites the torn directories idempotently
+    for cdir in chunks[3:]:
+        shutil.copytree(os.path.join(staged, cdir), os.path.join(live, cdir))
+    start_stream().awaitTermination()
+
+    got = {r["doc_id"]: r["is_dup"] for r in verdicts(spark, out).collect()}
+    want = {r["doc_id"]: r["is_dup"] for r in batch_twin(docs).collect()}
+    assert got == want
+    assert sum(want.values()) > 0 and not all(want.values())

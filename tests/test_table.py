@@ -68,3 +68,46 @@ def test_to_table_materializes(nation):
     # the checkpointed plan is a materialized scan, not the arithmetic tree
     assert "LogicalRDD" in t.df._jdf.queryExecution().logical().toString()
     assert t.n_rows() == 25
+
+
+def test_cube_stack_and_slice(spark):
+    """Reference Cube parity (cube.rs:77,427-432) on a 3-table fixture:
+    stacked members slice back exactly, resolver keys sort, col_across
+    carries the axis, stack_on validates the index."""
+    from minarrow_spark.table import MinCube, MinTable
+
+    days = {
+        "2024-01-02": [(1, 10.0), (2, 20.0)],
+        "2024-01-01": [(1, 11.0), (3, 30.0)],
+        "2024-01-03": [(2, 21.0)],
+    }
+    tables = {
+        d: MinTable(spark.createDataFrame(rows, "id long, v double"))
+        for d, rows in days.items()
+    }
+    cube = MinCube.stack(tables, axis_col="day", name="snap")
+
+    assert cube.keys() == [("2024-01-01",), ("2024-01-02",), ("2024-01-03",)]
+    assert cube.third_dim_index() == ["day"]
+    for d, rows in days.items():  # per-axis slice == the member table
+        got = sorted(tuple(r) for r in cube.table(d).collect())
+        assert got == sorted(rows)
+        assert cube.table(d).columns == ["id", "v"]  # axis-free, like the ref
+
+    across = sorted((r["day"], r["v"]) for r in cube.col_across("v").collect())
+    assert across == [
+        ("2024-01-01", 11.0), ("2024-01-01", 30.0),
+        ("2024-01-02", 10.0), ("2024-01-02", 20.0),
+        ("2024-01-03", 21.0),
+    ]
+
+    # round-trip through the unified grain + stack_on with validation
+    flat = cube.to_table()
+    again = flat.stack_on("day")
+    assert again.keys() == cube.keys()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        flat.stack_on("nope")
+    with _pytest.raises(KeyError):
+        cube.table("2024-01-01", "extra")
