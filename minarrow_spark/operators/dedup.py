@@ -242,9 +242,9 @@ def minhash_lsh_jaccard(
     and rejected by measurement: the driver testdata itself carries exact
     shingle-set clones even at sf0.1 (5500 non-empty docs, 5492 distinct
     sets), so the gate never fires on real corpora and its agg job is
-    pure overhead. The regression fix is structural instead: the members
-    table is NOT a separate checkpoint job — its three consumers share
-    one ReusedExchange inside the main job; see the expansion note.)"""
+    pure overhead. The regression fix is structural instead — see the
+    materialization-orchestration note in the body: text-keyed fp on a
+    pruned scan, concurrent members job, lazy-dsa-in-eager-sig fusion.)"""
     if hash_bits % 4 != 0 or not 4 <= hash_bits <= 128:
         raise ValueError("hash_bits must be a multiple of 4 in [4, 128]")
     if num_hashes % band_size != 0:
@@ -346,12 +346,14 @@ def minhash_lsh_jaccard(
         )
 
     # Materialization orchestration. Three facts drive the shape:
-    # (1) this Spark build does NOT reuse canonically-identical exchanges
-    #     under AQE (verified on a minimal agg self-join: zero
-    #     ReusedExchange), so every multiply-consumed stage — dsa (sig +
-    #     both jaccard attaches), sig (both band sides), members (ma, mb,
-    #     within ×2) — must be EXPLICITLY materialized or it re-executes
-    #     per consumer;
+    # (1) AQE's runtime exchange reuse shares only the SHUFFLE — each
+    #     consumer re-runs everything above the reused exchange (final
+    #     aggregate, window) and exchange-free subtrees (dsa's
+    #     scan→project) share nothing — so the multiply-consumed stages
+    #     are explicitly materialized: dsa (sig + both jaccard attaches),
+    #     sig (both band sides), members (ma, mb, within ×2). Measured:
+    #     explicit sig checkpoint 1.50s vs runtime-reuse-only 1.62s at
+    #     sf0.1;
     # (2) each blocking checkpoint job carries ~0.3s of fixed scheduling
     #     cost on this host, so job boundaries are the scarce resource
     #     (measured: the three checkpoints dwarf the 0.4s main job);
