@@ -521,18 +521,38 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     One explode + one groupBy(doc_id) with ``bits`` conditional sums — a
     single shuffle, signature width is free (map-side combine; plain long
     sums stay far inside the codegen-size limits the q39b decimal form
-    hit)."""
+    hit).
+
+    Nibble extraction is LONG-CHUNKED: the hex digest converts to
+    ``ceil(bits/8)`` longs once per token row (8 hex chars each) and every
+    vote is a shift/mask — the per-nibble conv(substring(...)) form did 32
+    string ops per row and made the 32-bit pass the dominant q36 stage at
+    the 10× point (hex char p of a chunk occupies bits 4·(7−p)..+3 of its
+    long, so the nibble high bit is bit 4·(7−p)+3; same bit the oracle's
+    strpos(...) ≥ 8 reads)."""
     if not 1 <= bits <= 32:
         raise ValueError(f"bits must be in [1, 32], got {bits}")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
-    nibble = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")
-    votes = [
-        F.sum(F.when(nibble(j) >= 8, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    voted = tok.groupBy("doc_id").agg(*votes)
+    n_chunks = -(-bits // 8)
+    chunked = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.col("h"), 8 * k + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"c{k}")
+            for k in range(n_chunks)
+        ],
+    )
+
+    def vote(j: int):
+        k, p = divmod(j, 8)
+        shift = 4 * (7 - p) + 3
+        bit = F.shiftright(F.col(f"c{k}"), shift).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1).alias(f"v{j}")
+
+    voted = chunked.groupBy("doc_id").agg(*[vote(j) for j in range(bits)])
     fp = None
     for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))

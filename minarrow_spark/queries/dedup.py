@@ -399,14 +399,38 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
     gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("gc"))
-    sig = simhash(corpus, bits=32).join(rep_ids, "doc_id")
+    # Rep-filter BEFORE the signature pass, not after: identical text ⇒
+    # identical simhash, so hashing clone members is pure redundancy — at
+    # the 10× replica point this is ~10× less token hashing (the join
+    # prunes the corpus to one row per distinct text; output unchanged,
+    # sig was rep-filtered either way).
+    # Deliberately NOT checkpointed although simhash_hamming_pairs
+    # references sig four times: the hash pipeline is only ~1.5s at the
+    # 10× point (runtime exchange reuse shares the heavy explode shuffle),
+    # and materializing it flips the band self-join's planning such that
+    # the ~28M-candidate generation lands measurably worse (18.5s vs
+    # 14.8s q36 total at 10× — measured both ways, kept the faster).
+    sig = simhash(corpus.join(F.broadcast(rep_ids), "doc_id"), bits=32)
     # eager checkpoint: both the components fixpoint and the pagerank loop
     # consume the banded self-join — concurrent first touch would run it
     # twice (the q35 rule)
     redges = simhash_hamming_pairs(sig, bits=32, bands=4, max_hamming=3)
     redges = redges.localCheckpoint(eager=True)
 
-    rep_cl = dedup_clusters(redges)
+    # The components fixpoint and the pagerank BSP loop are independent
+    # given the checkpointed redges — both are driver-side loops of small
+    # Spark jobs, so they run CONCURRENTLY (thread-submitted jobs, the
+    # q35 orchestration pattern) instead of back-to-back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as _pool:
+        _fut_pr = _pool.submit(
+            pagerank_lumped,
+            redges, gsz, src="da", dst="db", id_col="rep", size_col="gc",
+            iters=_PR_ITERS, damping=_PR_DAMP, scale=_PR_SCALE,
+        )
+        rep_cl = dedup_clusters(redges)
+        pr = _fut_pr.result()
     solo_dups = (  # c≥2 groups with no external edges: their own cluster
         gsz.filter(F.col("gc") >= 2)
         .join(rep_cl.select(F.col("doc_id").alias("rep")), "rep", "left_anti")
@@ -426,13 +450,10 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # tier 'pagerank' — centrality over the SAME dedup graph (which docs
-    # anchor the near-dup neighborhoods): lumped BSP loop with exact
-    # scaled-long ranks; the oracle replays every round of the FULL graph
+    # anchor the near-dup neighborhoods): lumped BSP loop (computed above,
+    # concurrently with the components fixpoint) with exact scaled-long
+    # ranks; the oracle replays every round of the FULL graph
     # (_pagerank_ctes) — equality is the lumping proof executed.
-    pr = pagerank_lumped(
-        redges, gsz, src="da", dst="db", id_col="rep", size_col="gc",
-        iters=_PR_ITERS, damping=_PR_DAMP, scale=_PR_SCALE,
-    )
     prt = (
         members.join(pr, members.rep == pr.id)
         .select(
