@@ -615,3 +615,34 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             ntile_from_rank(F.col("v"), F.lit(n).cast("bigint"), k).alias("t"),
         )
         assert _canon(naive) == _canon(derived), (n, k)
+
+
+def test_arrow_cosine_matches_hof_cosine(spark, sf_dir):
+    """The Arrow-batched numpy cosine (hot-path form) and the HOF
+    aggregate/zip_with form agree after the 6-digit rounding grid on real
+    embeddings — the determinism argument both rest on (sum-order δ ~1e-15
+    ≪ grid). Checked value-for-value on all pairs of a sample, plus edge
+    vectors (zero vector → null/NaN-free handling by the cell join never
+    feeds zero-norm rows; here we assert the dot/norm contract only on
+    non-zero rows)."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.similarity import cosine_sim, cosine_sim_arrow
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    both = pairs.select(
+        "va",
+        "vb",
+        cosine_sim(F.col("ea"), F.col("eb")).alias("hof"),
+        cosine_sim_arrow(6)(F.col("ea"), F.col("eb")).alias("arrow"),
+    ).collect()
+    assert len(both) == 40 * 39 // 2
+    diff = [r for r in both if r["hof"] != r["arrow"]]
+    assert not diff, f"cosine forms diverge on {len(diff)} pairs: {diff[:3]}"
