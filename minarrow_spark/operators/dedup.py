@@ -583,8 +583,15 @@ def simhash_hamming_pairs(
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
     width = bits // bands
     mask = (1 << width) - 1
+    # The signature is ONE long, so it rides through the band self-join
+    # (unlike q35's arrays, which must attach after): the hamming verify is
+    # then a pure codegen filter ON the join output, BEFORE the distinct —
+    # so the distinct dedups only surviving near-dup pairs instead of every
+    # band collision (~28M collisions vs ~1e5 survivors at the 10× point),
+    # and the two candidate→signature attach joins disappear entirely.
     bandrows = sig.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -598,23 +605,22 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.band_key")
-    a = bandrows.select(F.col("doc_id").alias("da"), "band_id", "band_key")
-    b = bandrows.select(F.col("doc_id").alias("db"), "band_id", "band_key")
-    cand = (
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+    a = bandrows.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"),
+        "band_id", "band_key",
+    )
+    b = bandrows.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"),
+        "band_id", "band_key",
+    )
+    return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-    )
-    ha = sig.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
-    hb = sig.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
-    return (
-        cand.join(ha, "da")
-        .join(hb, "db")
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("da", "db", "hamming")
+        .distinct()
     )
 
 

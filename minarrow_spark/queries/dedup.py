@@ -404,12 +404,12 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 10× replica point this is ~10× less token hashing (the join
     # prunes the corpus to one row per distinct text; output unchanged,
     # sig was rep-filtered either way).
-    # Deliberately NOT checkpointed although simhash_hamming_pairs
-    # references sig four times: the hash pipeline is only ~1.5s at the
-    # 10× point (runtime exchange reuse shares the heavy explode shuffle),
-    # and materializing it flips the band self-join's planning such that
-    # the ~28M-candidate generation lands measurably worse (18.5s vs
-    # 14.8s q36 total at 10× — measured both ways, kept the faster).
+    # Deliberately NOT checkpointed although both band sides of
+    # simhash_hamming_pairs reference sig: the hash pipeline is only ~1.5s
+    # at the 10× point (runtime exchange reuse shares the heavy explode
+    # shuffle), and materializing it flips the band self-join's planning
+    # such that the ~28M-collision generation lands measurably worse
+    # (18.5s vs 14.8s q36 total at 10× — measured both ways, kept faster).
     sig = simhash(corpus.join(F.broadcast(rep_ids), "doc_id"), bits=32)
     # eager checkpoint: both the components fixpoint and the pagerank loop
     # consume the banded self-join — concurrent first touch would run it
