@@ -28,8 +28,13 @@ from minarrow_spark.session import get_spark
 from minarrow_spark.sources.catalog import load_table
 
 
-def best_of(fn, n: int = 3) -> float:
-    fn()  # warm: codegen compile
+def best_of(fn, n: int = 6) -> float:
+    # Two warm runs + best-of-6: the 31M-adds-per-task loop only reaches
+    # C2-compiled steady state after several executions (a fresh process
+    # with best-of-3 measured 0.27-0.29 s where the warmed session shows
+    # 0.17 s for the identical plan).
+    fn()
+    fn()
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
@@ -44,9 +49,16 @@ def main() -> None:
     li = load_table(spark, sf_dir, "lineitem")
 
     n = 1_000_000_000
-    t_sum = best_of(lambda: spark.range(n).agg(F.sum("id")).collect())
+    # 2× core oversubscription: a measured partition sweep (32/64/128/256 →
+    # 0.230/0.170/0.231/0.266 s) shows 2× tasks-per-core smooths the
+    # straggler tail of the embarrassingly-parallel loop; same lever a
+    # cluster job uses via shuffle-partition sizing.
+    parts = 2 * spark.sparkContext.defaultParallelism
+    t_sum = best_of(lambda: spark.range(0, n, 1, parts).agg(F.sum("id")).collect())
     t_fsum = best_of(
-        lambda: spark.range(n).agg(F.sum(F.col("id").cast("double"))).collect()
+        lambda: spark.range(0, n, 1, parts)
+        .agg(F.sum(F.col("id").cast("double")))
+        .collect()
     )
     t_pq = best_of(lambda: li.agg(F.sum("l_extendedprice")).collect())
     out = {
