@@ -21,20 +21,30 @@ from pyspark.sql import functions as F
 
 
 def cms_bucket(key: Column, j: int, width: int = 256) -> Column:
-    """Row-j bucket of ``key``: the first two hex chars of md5("c{j}|"+key)
-    as an int — uniform over [0, 256). ``width`` must divide 256 (the
-    two-char value is taken mod width)."""
+    """Row-j bucket of ``key``: hex chars [2j+1, 2j+2] of md5("c|"+key) as
+    an int — uniform over [0, 256). ONE digest serves every sketch row
+    (the minhash one-md5-sliced-into-sub-hashes trick: md5 bytes behave
+    pairwise-independently, which is all CMS's analysis needs), so depth
+    costs zero extra hashing — the j-salted per-row form did `depth` md5s
+    per input row and dominated q24's 100× profile. ``width`` must divide
+    256; depth ≤ 16 (32 hex chars / 2)."""
     if 256 % width != 0:
         raise ValueError("width must divide 256")
-    b = F.conv(F.substring(F.md5(F.concat(F.lit(f"c{j}|"), key.cast("string"))), 1, 2), 16, 10)
+    if not 0 <= j < 16:
+        raise ValueError("j must be in [0, 16) — one md5 has 16 byte windows")
+    b = F.conv(
+        F.substring(F.md5(F.concat(F.lit("c|"), key.cast("string"))), 2 * j + 1, 2),
+        16,
+        10,
+    )
     return (b.cast("int") % width).alias(f"b{j}")
 
 
 def cms_bucket_sql(key: str, j: int, width: int = 256) -> str:
     """DuckDB twin of `cms_bucket` (nibble arithmetic — no conv())."""
-    h = f"md5('c{j}|' || CAST({key} AS VARCHAR))"
+    h = f"md5('c|' || CAST({key} AS VARCHAR))"
     nib = lambda i: f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
-    return f"(({nib(1)} * 16 + {nib(2)}) % {width})"
+    return f"(({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)}) % {width})"
 
 
 def cms_build(
