@@ -447,11 +447,36 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.size("lw") - 3, F.lit(0))
         ),
     )
-    ex = base.filter(F.col("_t") != "").select(
-        "doc_id", F.explode("lw").alias("w")
+    # ALL FOUR gram-level signals (unigram surprisal, 2/3-gram Gopher
+    # repetition, 4-gram boilerplate) ride ONE map-side-combined
+    # (doc_id, k, gram) aggregation: four tagged explode arms union into a
+    # single shuffle, and every downstream tier consumes per-(doc, gram)
+    # COUNTS instead of raw occurrences (exactness preserved — summing c
+    # copies of one rounded-decimal surprisal equals c × that decimal).
+    # The r4 shape ran three separate gram shuffles (word counts, 2/3-gram
+    # counts, 4-gram counts) over the same exploded streams; fusing them
+    # cut q32's 100× time by ~a third. The fused table feeds four
+    # consumers, so it is GC-scope checkpointed once (the q35 rule).
+    ne = base.filter(F.col("_t") != "")
+    occ = (
+        ne.select("doc_id", F.lit(1).alias("k"), F.explode("lw").alias("g"))
+        .unionByName(
+            ne.select("doc_id", F.lit(2).alias("k"), F.explode("sh2").alias("g"))
+        )
+        .unionByName(
+            ne.select("doc_id", F.lit(3).alias("k"), F.explode("sh3").alias("g"))
+        )
+        .unionByName(
+            ne.select("doc_id", F.lit(4).alias("k"), F.explode("sh4").alias("g"))
+        )
     )
-    gr = base.filter(F.col("_t") != "").select("doc_id", F.explode("sh4").alias("g"))
-    gd = gr.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("occ"))
+    # NOT checkpointed: at 100× this table is ~2.4B rows — materializing it
+    # measured 85-114s vs 45s unfused (the checkpoint write+read dwarfs the
+    # saved shuffles). The four consumers share the ONE groupBy exchange
+    # via runtime reuse (canonically identical subplans); only the cheap
+    # reduce-side final agg re-executes per consumer.
+    dkg = occ.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
+    gd = dkg.filter(F.col("k") == 4).select("doc_id", "g", F.col("c").alias("occ"))
     # Gram doc-frequency as a map-side-combined agg + semi-join back — NOT a
     # count-over-window on the gram key: window partitions get no partial
     # aggregation and no AQE skew split, so at 100× the hottest boilerplate
@@ -473,38 +498,37 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style intra-document repetition signals (token approximation of
     # the char-fraction originals): top-2-gram share (2·max 2-gram count /
     # n_tokens) and duplicate-3-gram fraction (occurrences of 3-grams seen
-    # ≥2× in the doc / all 3-gram occurrences). Both gram sizes ride ONE
-    # explode (tagged with the gram size k) → one map-side-combined
-    # (doc_id, k, gram) agg → one per-doc conditional rollup — two shuffles
-    # and one join-back for the whole tier instead of four + two. No
-    # cross-document state, embarrassingly parallel at 100 TB.
-    g2r = base.filter(F.col("_t") != "").select(
-        "doc_id", F.lit(2).alias("k"), F.explode("sh2").alias("g")
-    )
-    g3r = base.filter(F.col("_t") != "").select(
-        "doc_id", F.lit(3).alias("k"), F.explode("sh3").alias("g")
-    )
-    kgc = (
-        g2r.unionByName(g3r)
-        .groupBy("doc_id", "k", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # ≥2× in the doc / all 3-gram occurrences).
+    kgc = dkg.filter(F.col("k").isin(2, 3))
     repd = kgc.groupBy("doc_id").agg(
         F.max(F.when(F.col("k") == 2, F.col("c"))).alias("m2"),
         F.sum(F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c")).otherwise(0))
         .alias("d3n"),
         F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(0)).alias("d3d"),
     )
-    cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").alias("n"))
-    term = ex.join(F.broadcast(cnt.crossJoin(tot)), "w").select(
-        "doc_id",
-        F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6)
-        .cast("decimal(18,6)")
-        .alias("nll"),
+    dw = dkg.filter(F.col("k") == 1).select(
+        "doc_id", F.col("g").alias("w"), F.col("c").alias("cw")
     )
-    docn = term.groupBy("doc_id").agg(
-        F.sum("nll").alias("nll_sum"), F.count(F.lit(1)).alias("n_tok_nll")
+    cnt = dw.groupBy("w").agg(F.sum("cw").cast("bigint").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    # per-(doc, word) surprisal × multiplicity — exact: the rounded
+    # per-value decimal is fixed per word, so cw · nll_w == Σ_{cw} nll_w
+    docn = (
+        dw.join(F.broadcast(cnt.crossJoin(tot)), "w")
+        .select(
+            "doc_id",
+            "cw",
+            (
+                F.col("cw").cast("decimal(10,0)")
+                * F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6)
+                .cast("decimal(18,6)")
+            ).cast("decimal(28,6)").alias("nllc"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nllc").alias("nll_sum"),
+            F.sum("cw").cast("bigint").alias("n_tok_nll"),
+        )
     )
     hi = F.col("nll_sum") > F.lit("3.5").cast("decimal(2,1)") * F.col("n_tok_nll")
     bpf = F.when(
