@@ -931,8 +931,14 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(shingles(F.col("text"), 8)).alias("garr")
     )
     bg = garr(bench).select(F.explode("garr").alias("gram")).distinct()
-    tg = garr(train).select("doc_id", F.explode("garr").alias("gram"))
-    cnt = garr(train).select("doc_id", F.size("garr").alias("n_grams"))
+    # n_grams rides every exploded gram row (one long of payload): the
+    # final report only needs the denominator for CONTAMINATED docs, all
+    # of which survive the bench-gram join — so the separate
+    # size-of-garr projection (a SECOND full train-side shingle pass; no
+    # exchange below it means no runtime reuse) is gone entirely.
+    tg = garr(train).select(
+        "doc_id", F.size("garr").alias("n_grams"), F.explode("garr").alias("gram")
+    )
     ntr = train.agg(F.count(F.lit(1)).alias("n"))
     # Shared (doc, gram) rows: benchmark-bounded, feeds two consumers
     # (doc-frequency + weighted rollup) — materialize once, GC-scoped.
@@ -957,19 +963,18 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
             F.sum("w").alias("severity"),
+            # constant within the group (per-doc denominator carried on
+            # every gram row) — first() is deterministic on a uniform value
+            F.first("n_grams").alias("n_grams"),
         )
     )
-    return (
-        F.broadcast(sev)
-        .join(cnt, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            F.round(
-                F.col("n_shared").cast("double") / F.col("n_grams"), 6
-            ).alias("frac_shared"),
-            F.col("severity").cast("double").alias("severity"),
-        )
+    return sev.select(
+        "doc_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_grams"), 6
+        ).alias("frac_shared"),
+        F.col("severity").cast("double").alias("severity"),
     )
 
 _PACK_BUDGET = 512  # tokens per training chunk
