@@ -585,7 +585,15 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p, d, _plane_signs(p)[d]) for p in range(n_planes) for d in range(_LSH_DIM)
     ]
     signs = spark.createDataFrame(sign_rows, ["p", "d", "s"])
-    ex = e2.select("vec_id", F.posexplode("emb").alias("d", "x"))
+    # Rep-filter BEFORE the projection engine, not after banding: identical
+    # embeddings produce identical projections, so running the 24-plane
+    # sign pipeline (posexplode ×64 dims × 24 planes — the heaviest
+    # map-side fan-out in the query) over clone members is pure redundancy
+    # (~10×/100× less work on the replica corpora; output unchanged, the
+    # band rows were rep-filtered either way).
+    ex = e2.join(F.broadcast(rep_ids), "vec_id").select(
+        "vec_id", F.posexplode("emb").alias("d", "x")
+    )
     proj = (
         ex.join(F.broadcast(signs), "d")
         .groupBy("vec_id", "p")
@@ -605,7 +613,6 @@ def q39b_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("band_key")
         )
-        .join(rep_ids, "vec_id")  # slim: only representatives enter banding
     )
     a = bandrows.select(F.col("vec_id").alias("va"), "band_id", "band_key")
     b = bandrows.select(F.col("vec_id").alias("vb"), "band_id", "band_key")
