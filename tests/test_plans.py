@@ -59,10 +59,17 @@ def test_global_plan_contracts(spark, sf_dir):
     * shuffle count bounded (worst legitimate cases today: q37's
       multi-join gram pipeline at 10, q15's set-op suite at 9 — a query
       suddenly exceeding 12 means a broadcast silently degraded or a
-      distinct/repartition crept in).
+      distinct/repartition crept in). NOTE the summary counts STATIC
+      Exchange nodes: a deliberately-unmaterialized shared subplan (q32's
+      fused (doc_id, k, gram) aggregation, four consumers) repeats its
+      exchange once per consumer in the plan text while runtime exchange
+      reuse executes it once — such queries carry an explicit allowance
+      here rather than a raised global bar.
     """
     from minarrow_spark.plans.inspect import _executed_plan
 
+    # static-node allowances for shared-unmaterialized-exchange plans
+    allowance = {"q32_quality_score": 16}
     offenders = []
     for name, q in QUERIES.items():
         df = q.fn(spark, sf_dir)
@@ -70,7 +77,7 @@ def test_global_plan_contracts(spark, sf_dir):
         s = plan_summary(df)
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
-        if s.shuffles > 12:
+        if s.shuffles > allowance.get(name, 12):
             offenders.append((name, f"{s.shuffles} shuffles"))
     assert not offenders, offenders
 
@@ -109,10 +116,12 @@ def test_q35_candidates_broadcast(spark, sf_dir):
         ("q42_sequence_packing", 1),
         ("q47_sessionization", 2),
         # Round-3 suite growth: budgets pinned at measured shape + 1 slack.
-        # q32: quality + surprisal + boilerplate + repetition tiers (the
-        # gram doc-frequency must stay a map-side-combined agg; the
-        # repetition tier's two gram sizes must share one tagged explode).
-        ("q32_quality_score", 12),
+        # q32 (r5 shape): ALL four gram tiers share one tagged
+        # (doc_id, k, gram) aggregation that is deliberately NOT
+        # materialized — its exchange appears once per consumer in the
+        # STATIC plan (15 nodes) but executes once via runtime reuse
+        # (measured 45s→31.3s at 100×; checkpointing it measured 85s).
+        ("q32_quality_score", 16),
         # q33: accounting + quota window + tf/df aggs + top-terms window.
         ("q33_fingerprint", 7),
         # q41: benchmark-bounded severity adds only dfg + doc rollup.
