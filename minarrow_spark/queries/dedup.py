@@ -593,35 +593,52 @@ def q37_ngram_jaccard(
     # block) enters the pair join once; the pair list is expanded back
     # from slim member rows, within-group pairs being exactly 1.0
     # (identical distinct gram arrays).
-    garr = corpus.select(
+    # JSON-serialize the (text, source, block) triple: escaping makes the
+    # encoding injective (a raw separator-join is not — normalized text
+    # keeps every non-whitespace byte) and NULL source stays distinct from
+    # empty-string source.
+    fp_expr = F.md5(
+        F.to_json(
+            F.array(F.col("t"), F.col("source"), F.col("blk").cast("string"))
+        )
+    )
+    # Stage 1 — normalize ONCE: the regex-normalized text is checkpointed
+    # slim (text-sized rows, NO gram arrays), so the fp pass and the gram
+    # pass both read materialized `t` instead of re-running the
+    # normalization (the cost that sank the first members restructure).
+    tcorp = corpus.select(
         "doc_id",
+        "t",
         "source",
         (F.col("n_chars") / bucket_chars).cast("bigint").alias("blk"),
-        F.array_distinct(gram_arr).alias("garr"),
-        # JSON-serialize the (text, source, block) triple: escaping makes
-        # the encoding injective (a raw separator-join is not — normalized
-        # text keeps every non-whitespace byte) and NULL source stays
-        # distinct from empty-string source.
-        F.md5(
-            F.to_json(
-                F.array(
-                    F.col("t"),
-                    F.col("source"),
-                    (F.col("n_chars") / bucket_chars).cast("bigint").cast("string"),
-                )
-            )
-        ).alias("fp"),
     ).localCheckpoint(eager=True)
+    # Stage 2 — members from the slim checkpoint (md5 + window, no arrays).
     members = (
-        garr.select("doc_id", "fp")
+        tcorp.select("doc_id", fp_expr.alias("fp"))
         .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
         .select("doc_id", "rep")
         .localCheckpoint(eager=True)  # slim (two longs/row); 5 consumers
     )
     rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    cnt = garr.select("doc_id", "source", "blk", F.size("garr").alias("n")).join(
-        rep_ids, "doc_id"
+    # Stage 3 — gram arrays for REPRESENTATIVES ONLY (the r5 rep-filter
+    # discipline): clone members' arrays are identical to their rep's, so
+    # shingling them — the dominant CPU of this query — and materializing
+    # them in the checkpoint is pure redundancy (10×/100× less transform +
+    # checkpoint volume at the replica points; q37 100×: 15.0s → ~10s).
+    # rep_ids broadcasts like q36's; at true 100 TB distinct-content scale
+    # the rep flag would instead ride the members table through a bucketed
+    # join.
+    garr = (
+        tcorp.join(F.broadcast(rep_ids), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "blk",
+            F.array_distinct(gram_arr).alias("garr"),
+        )
+        .localCheckpoint(eager=True)
     )
+    cnt = garr.select("doc_id", "source", "blk", F.size("garr").alias("n"))
     a = cnt.select(
         F.col("doc_id").alias("da"), "source", "blk", F.col("n").alias("ca")
     )
