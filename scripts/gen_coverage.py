@@ -132,8 +132,9 @@ def main() -> None:
         "| incremental streaming ANN index (cell-partitioned, int8 at-rest, "
         "exactly-once) | streaming/ann.py — batch-twin equivalence + first-"
         "batch-empty + replay idempotence pinned in tests/test_streaming.py; "
-        "kill-and-restart exactly-once (torn-batch overwrite) pinned for the "
-        "dedup stream in test_streaming_dedup_kill_restart_exactly_once |"
+        "kill-and-restart exactly-once (torn-batch overwrite) pinned for BOTH "
+        "streams: test_streaming_dedup_kill_restart_exactly_once and "
+        "test_streaming_ann_kill_restart_exactly_once |"
     )
     out.append(
         "| cube / third-dimension table stacking (reference cube.rs) | "
