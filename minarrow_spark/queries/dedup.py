@@ -272,10 +272,19 @@ def _pagerank_ctes() -> str:
             f"FROM sym s JOIN ppr{t} pr ON pr.id = s.u "
             f"JOIN pdeg d ON d.u = s.u GROUP BY s.v)"
         )
+        # CAST the whole rank back to BIGINT: DuckDB's SUM(BIGINT) yields
+        # HUGEINT (int128), and BIGINT + HUGEINT stays HUGEINT — without the
+        # cast, `val` in the final UNION is promoted to HUGEINT, the ONLY
+        # such column in all 50 oracles. Our local fetchall() comparator
+        # renders HUGEINT and BIGINT identically (Python int), but
+        # Arrow/pandas fetch paths represent HUGEINT as decimal128/float64,
+        # which canonicalizes differently from int64 — the exact
+        # rows-match/schema-match/hash-mismatch signature q36 showed in the
+        # r4+r5 driver runs (it passed r1-r3, before this tier existed).
         ctes.append(
             f"ppr{t + 1} AS (SELECT d.u AS id, "
-            f"CAST(({2 * (dden - dnum) * _PR_SCALE} + {dden} * n) // "
-            f"({2 * dden} * n) AS BIGINT) + COALESCE(c.c, 0) AS r "
+            f"CAST(CAST(({2 * (dden - dnum) * _PR_SCALE} + {dden} * n) // "
+            f"({2 * dden} * n) AS BIGINT) + COALESCE(c.c, 0) AS BIGINT) AS r "
             f"FROM pdeg d CROSS JOIN pnn LEFT JOIN pct{t} c ON c.id = d.u)"
         )
     return ", ".join(ctes)
@@ -329,7 +338,7 @@ def _simhash_oracle() -> str:
     UNION ALL
     SELECT 'clusters', id, keep, CAST(id = keep AS BIGINT) FROM comp
     UNION ALL
-    SELECT 'pagerank', d.u, p.r, d.dg
+    SELECT 'pagerank', d.u, CAST(p.r AS BIGINT), d.dg
     FROM ppr{_PR_ITERS} p JOIN pdeg d ON d.u = p.id
     """
 

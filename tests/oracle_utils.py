@@ -54,6 +54,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    # Guard against DuckDB-only integer widths leaking into an oracle's
+    # output: fetchall() renders HUGEINT and BIGINT as identical Python
+    # ints, but Arrow/pandas fetch paths (which a driver-side comparator
+    # may use) turn HUGEINT into decimal128/float64 — a rows-match/
+    # hash-mismatch class invisible to this comparator unless typed out
+    # (the q36 r4/r5 driver failure: SUM(BIGINT) → HUGEINT in `val`).
+    bad_types = [
+        (c, str(t))
+        for c, t in zip(d_cols, rel.types)
+        if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+    ]
+    if bad_types:
+        return False, (
+            f"oracle emits non-portable integer types {bad_types}; "
+            "CAST to BIGINT in the SQL (SUM over BIGINT widens to HUGEINT)"
+        )
     d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):

@@ -30,3 +30,18 @@ def test_oracle_match(spark, sf_dir, con, name):
 
 # (No rows-only tier remains: every registered query carries an oracle —
 # enforced by tests/test_entry.py::test_contract_shapes.)
+
+
+def test_no_oracle_emits_duckdb_only_integer_widths(con):
+    """Binding-only scan of every oracle's output types: SUM(BIGINT) in
+    DuckDB widens to HUGEINT, which fetches as decimal128/float64 through
+    Arrow/pandas paths while fetchall() masks it as a plain Python int —
+    the q36 r4/r5 driver hash-mismatch class. No oracle may emit one."""
+    banned = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+    offenders = {}
+    for name in ORACLE_NAMES:
+        rel = con.sql(QUERIES[name].oracle)
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types) if str(t) in banned]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"CAST these to BIGINT: {offenders}"
