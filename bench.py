@@ -171,6 +171,10 @@ def _run_x10(spark, qs, sf: float) -> dict:
 
 
 def main() -> None:
+    # Forensics sidecars (minarrow_spark/forensics.py) execute an extra
+    # guarded collect inside the query build — correctness-run diagnostics
+    # that must stay OUT of bench's timed windows.
+    os.environ.setdefault("MINARROW_FORENSICS", "0")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

@@ -430,16 +430,29 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # given the checkpointed redges — both are driver-side loops of small
     # Spark jobs, so they run CONCURRENTLY (thread-submitted jobs, the
     # q35 orchestration pattern) instead of back-to-back.
-    from concurrent.futures import ThreadPoolExecutor
+    # MINARROW_Q36_SERIAL=1 runs them sequentially — an r5-advisory switch
+    # so thread concurrency can be excluded/confirmed as a divergence
+    # source without a code change.
+    import os as _os
 
-    with ThreadPoolExecutor(1) as _pool:
-        _fut_pr = _pool.submit(
-            pagerank_lumped,
+    _serial = _os.environ.get("MINARROW_Q36_SERIAL") == "1"
+    if _serial:
+        pr = pagerank_lumped(
             redges, gsz, src="da", dst="db", id_col="rep", size_col="gc",
             iters=_PR_ITERS, damping=_PR_DAMP, scale=_PR_SCALE,
         )
         rep_cl = dedup_clusters(redges)
-        pr = _fut_pr.result()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as _pool:
+            _fut_pr = _pool.submit(
+                pagerank_lumped,
+                redges, gsz, src="da", dst="db", id_col="rep", size_col="gc",
+                iters=_PR_ITERS, damping=_PR_DAMP, scale=_PR_SCALE,
+            )
+            rep_cl = dedup_clusters(redges)
+            pr = _fut_pr.result()
     solo_dups = (  # c≥2 groups with no external edges: their own cluster
         gsz.filter(F.col("gc") >= 2)
         .join(rep_cl.select(F.col("doc_id").alias("rep")), "rep", "left_anti")
@@ -472,7 +485,24 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("degree").cast("bigint").alias("aux"),
         )
     )
-    return hash16.unionByName(cl).unionByName(prt)
+    result = hash16.unionByName(cl).unionByName(prt)
+    # Pinned investigation (r5 verdict task 1): leave a canonical record of
+    # what THIS process computed — per-tier md5s localize any future driver
+    # mismatch to hash/clusters/pagerank in one round. always=True so it
+    # fires inside the external driver's run (which sets no env vars);
+    # bench.py disables via MINARROW_FORENSICS=0 to keep timed windows
+    # clean. One guarded extra collect — tiny at the correctness tier.
+    from minarrow_spark.forensics import capture
+
+    capture(
+        "q36",
+        result,
+        spark,
+        always=True,
+        tier_col="tier",
+        extra={"serial": _serial, "pr_iters": _PR_ITERS, "sf_dir": sf_dir},
+    )
+    return result
 
 
 @query(

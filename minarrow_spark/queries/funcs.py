@@ -999,7 +999,7 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tier", "var_a", "m.var_b", "m.cov")
 
     pick = lambda df: df.select("tier", "var_a", "var_b", "cov")
-    return (
+    result = (
         pick(cov)
         .unionByName(pick(kn))
         .unionByName(pick(ki))
@@ -1008,6 +1008,13 @@ def q52_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pick(pjr))
         .unionByName(pick(tr))
     )
+    # Opt-in forensics (MINARROW_FORENSICS=1): the PCA/k-means tiers carry
+    # driver-side iterative model state — per-tier md5s localize any
+    # future cross-engine flake to cov/kmeans/pca/trend in one round.
+    from minarrow_spark.forensics import capture
+
+    capture("q52", result, spark, tier_col="tier", extra={"sf_dir": sf_dir})
+    return result
 
 
 # --------------------------------------------------------------------------

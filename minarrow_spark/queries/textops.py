@@ -544,7 +544,7 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("d3d"), F.lit(0)) > 0,
         F.round(F.col("d3n").cast("double") / F.col("d3d").cast("double"), 6),
     ).otherwise(F.lit(0.0))
-    return (
+    result = (
         base.join(docn, "doc_id", "left")
         .join(bp, "doc_id", "left")
         .join(repd, "doc_id", "left")
@@ -581,6 +581,13 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup3_heavy"),
         )
     )
+    # Opt-in forensics (MINARROW_FORENSICS=1): q32's NLL tier chains a
+    # transcendental per-value rounding contract — if a driver-only flake
+    # ever hits it, the sidecar localizes which source row diverged.
+    from minarrow_spark.forensics import capture
+
+    capture("q32", result, spark, extra={"sf_dir": sf_dir})
+    return result
 
 
 _Q33_SAMPLE_FRAC = 0.10  # deterministic hash-sample rate (salt "s1")
