@@ -26,6 +26,17 @@ LANG_PATTERNS: dict[str, str] = {
 
 PUNCT_PATTERN = r"[.,;:!?]"
 
+# THE whitespace class, pinned identically on both engines. Java regex `\s`
+# (Spark) is [ \t\n\x0B\f\r] while RE2 `\s` (the DuckDB oracles) is
+# [ \t\n\f\r] — one vertical tab in a future corpus would flip every
+# tokenize/fingerprint/simhash value on exactly one engine (the r5 verdict's
+# latent-divergence find). Every paired Spark-split/oracle-split uses this
+# explicit class instead; \x0B itself is stripped by `normalize_text`'s
+# control-character pass, so the cleaning tier still collapses it. The raw
+# literal below is byte-identical when embedded in a DuckDB SQL string
+# (RE2 reads the same \t \n \r \f escapes inside a class).
+WS = r"[ \t\n\r\f]+"
+
 
 def let_(col: Column, body) -> Column:
     """Bind ``col`` to a lambda variable so ``body`` evaluates it exactly once.
@@ -43,13 +54,13 @@ def token_count(text: Column) -> Column:
     """Whitespace token count; '' → 0 (split('') yields [''] otherwise)."""
     t = F.trim(text)
     return F.when(t == "", F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, WS))
     ).cast("bigint")
 
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens as an array<string> (lowercased)."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), WS)
 
 
 # BPE-style pre-tokenizer pattern (the GPT-2 family's shape: contractions,
@@ -58,7 +69,7 @@ def tokens(text: Column) -> Column:
 # DuckDB compiles RE2 — both honor leftmost alternation preference, but RE2
 # has no lookahead, so the canonical `\s+(?!\S)` tail is dropped (counting is
 # unaffected: trailing whitespace runs merge into the final token either way).
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\r\f]+"
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -111,7 +122,7 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. The reference's rolling-hash fingerprint analog with a
     portable hash both engines implement identically."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), WS, " "))
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -145,7 +156,7 @@ def normalize_text(text: Column, lowercase: bool = False) -> Column:
     # ZWSP/ZWNJ/ZWJ/WORD-JOINER/BOM, written as escapes (literal invisible
     # code points in source are unreviewable and formatter-fragile).
     t = F.regexp_replace(t, "[\\u200b\\u200c\\u200d\\u2060\\ufeff]", "")
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.trim(F.regexp_replace(t, WS, " "))
     return F.lower(t) if lowercase else t
 
 

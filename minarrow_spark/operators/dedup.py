@@ -56,7 +56,9 @@ def augment_with_near_dups(
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized-text md5: one shuffle on the 128-bit key.
     Returns (fp, keep_id, n_copies)."""
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    from minarrow_spark.functions.text import WS
+
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " "))
     return (
         docs.select(fp.alias("fp"), F.col("doc_id"))
         .groupBy("fp")

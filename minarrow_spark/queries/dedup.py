@@ -23,6 +23,7 @@ from minarrow_spark.operators.dedup import (
     minhash_lsh_jaccard,
     simhash16,
 )
+from minarrow_spark.functions.text import WS
 from minarrow_spark.queries._util import T, par
 from minarrow_spark.registry import query
 
@@ -35,14 +36,14 @@ _CORPUS_NEAR = """
     ),
     variants AS (
       SELECT doc_id + 100000 AS doc_id,
-             array_to_string(regexp_split_to_array(trim(text), '\\s+')[6:], ' ')
+             array_to_string(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')[6:], ' ')
                AS text,
              lang, source, n_chars
       FROM base WHERE doc_id % 10 = 0
     ),
     corpus AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
     tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS w FROM corpus
     ),
     sh0 AS (
       SELECT doc_id,
@@ -83,12 +84,12 @@ _CORPUS_NEAR = """
                      text,
                      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
                    '[\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}]', '', 'g'),
-                 '\\s+', ' ', 'g'))) AS text
+                 '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS text
       FROM corpus
     ),
     fps AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp
       FROM normed
     )
     SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -228,7 +229,7 @@ def _simhash_votes(src: str, bits: int) -> str:
     return f"""
     tok{bits} AS (
       SELECT doc_id,
-             md5(unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS h
+             md5(unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'))) AS h
       FROM {src}
     ),
     votes{bits} AS (
@@ -299,7 +300,7 @@ def _simhash_oracle() -> str:
       UNION ALL
       SELECT doc_id + 100000,
              array_to_string(
-               regexp_split_to_array(lower(trim(text)), '\\s+')[6:], ' ')
+               regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')[6:], ' ')
       FROM documents WHERE doc_id % 10 = 0
     ),
     {_simhash_votes('corpus', 32).strip().rstrip()},
@@ -510,13 +511,13 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH corpus AS (
       SELECT doc_id,
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t,
+             regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g') AS t,
              source, n_chars
       FROM documents
       UNION ALL
       SELECT doc_id + 100000,
              array_to_string(
-               regexp_split_to_array(lower(trim(text)), '\\s+')[6:], ' '),
+               regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')[6:], ' '),
              source, n_chars
       FROM documents WHERE doc_id % 10 = 0
     ),
@@ -592,8 +593,8 @@ def q37_ngram_jaccard(
     array_intersect on candidates only. The oracle is unchanged — set
     semantics are identical either way."""
     d = par(T(spark, sf_dir, "documents"))
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    norm = F.regexp_replace(F.lower(F.trim("text")), WS, " ")
+    toks = F.split(F.lower(F.trim("text")), WS)
     corpus = d.select(
         "doc_id", norm.alias("t"), "source", "n_chars"
     ).unionByName(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from minarrow_spark.functions.text import (
     BPE_PATTERN,
+    WS,
     LANG_PATTERNS,
     PUNCT_PATTERN,
     bpe_token_count,
@@ -27,7 +28,7 @@ from minarrow_spark.registry import query
 
 _SQL_TOKENS = (
     "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END"
 )
 
 
@@ -261,7 +262,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE) AS punct,
              CASE WHEN trim(text) = '' THEN 0.0 ELSE
                CAST(len(list_distinct(
-                      regexp_split_to_array(lower(trim(text)), '\\s+')))
+                      regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')))
                     AS DOUBLE)
              END AS n_types
       FROM documents
@@ -276,7 +277,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tok AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+             unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS w
       FROM documents WHERE trim(text) <> ''
     ),
     cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
@@ -295,7 +296,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(range(1, greatest(len(t.w) - 2, 1)),
                     i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2]
                          || ' ' || t.w[i+3])) AS g
-      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS w
             FROM documents WHERE trim(text) <> '') t
     ),
     gd AS (SELECT doc_id, g, COUNT(*) AS occ FROM gr GROUP BY doc_id, g),
@@ -310,7 +311,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE greatest(len(regexp_split_to_array(lower(trim(text)),
-                                                          '\\s+')) - 3, 0)
+                                                          '[ \\t\\n\\r\\f]+')) - 3, 0)
              END AS n_gr
       FROM documents
     ),
@@ -323,7 +324,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ngr LEFT JOIN grshared USING (doc_id)
     ),
     words AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS w
       FROM documents WHERE trim(text) <> ''
     ),
     g2 AS (
@@ -433,7 +434,7 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         ttr.alias("ttr"),
         n_tok.alias("n_tokd"),
-        F.split(F.lower(F.trim("text")), r"\s+").alias("lw"),
+        F.split(F.lower(F.trim("text")), WS).alias("lw"),
         shingles(F.col("text"), 2).alias("sh2"),
         shingles(F.col("text"), 3).alias("sh3"),
         shingles(F.col("text"), 4).alias("sh4"),
@@ -604,7 +605,7 @@ def _q33_oracle() -> str:
     return f"""
     WITH fps AS (
       SELECT source, doc_id, n_chars,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp,
              substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h_s,
              substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h_t,
              substr(md5('q|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h_q
@@ -632,7 +633,7 @@ def _q33_oracle() -> str:
     ),
     tok AS (
       SELECT doc_id, source,
-             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+             unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS term
       FROM documents
     ),
     tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
@@ -865,20 +866,20 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM base WHERE doc_id % 25 <> 0
       UNION ALL
       SELECT doc_id + 200000,
-             array_to_string(regexp_split_to_array(text, '\\s+')[6:], ' ')
+             array_to_string(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+')[6:], ' ')
       FROM bench
     ),
     bg AS (
       SELECT DISTINCT
              unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
                                    i -> array_to_string(w[i:i+7], ' '))) AS gram
-      FROM (SELECT regexp_split_to_array(text, '\\s+') AS w FROM bench)
+      FROM (SELECT regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS w FROM bench)
     ),
     tg0 AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
                                    i -> array_to_string(w[i:i+7], ' '))) AS gram
-      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM train)
+      FROM (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS w FROM train)
     ),
     tg AS (SELECT DISTINCT doc_id, gram FROM tg0),
     cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
@@ -928,7 +929,7 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = par(T(spark, sf_dir, "documents"))
     base = d.select("doc_id", F.lower(F.trim("text")).alias("text"))
     bench = base.filter(F.col("doc_id") % 25 == 0)
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS)
     variants = bench.select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 6, F.size(toks))).alias("text"),

@@ -165,3 +165,98 @@ def test_find0_matches_python_find(spark, items):
         )
         for r in rows:
             assert r.idx == r.s.find(needle), (r.s, needle, r.idx)
+
+
+# Cross-engine whitespace contract (the r5 verdict's latent divergence):
+# Java regex \s is [ \t\n\x0B\f\r]; RE2's \s is [ \t\n\f\r] (no \x0B).
+# Every paired Spark/DuckDB tokenize now uses the explicit shared class
+# functions.text.WS, and \x0B is stripped by normalize_text BEFORE any
+# collapse — so a vertical-tab (or NEL/NBSP/unicode-space) document must
+# tokenize and fingerprint identically on both engines.
+_HOSTILE_WS_DOCS = [
+    (1, "plain words here"),
+    (2, "vertical\x0btab inside"),          # Java-\s-only whitespace
+    (3, "form\x0cfeed and\ttabs\nnewline"),  # \x0c stripped pre-collapse
+    (4, "nel\x85and nbsp\xa0chars"),         # matched by NEITHER engine's \s
+    (5, "ideographic　space"),           # unicode WS — not in either \s
+    (6, " leading and trailing \x0b "),
+    (7, "run  of   spaces\r\ncrlf"),
+]
+
+
+def test_ws_class_tokenizes_identically_cross_engine(spark):
+    import duckdb
+
+    from minarrow_spark.functions.text import WS, fingerprint, token_count
+
+    df = spark.createDataFrame(_HOSTILE_WS_DOCS, "doc_id long, text string")
+    srows = {
+        r.doc_id: (r.nt, r.fp)
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("nt"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in _HOSTILE_WS_DOCS)
+        + ") v(doc_id, text)",
+        [x for row in _HOSTILE_WS_DOCS for x in row],
+    )
+    ws_sql = WS.replace("\\", "\\")  # literal class — same bytes both engines
+    drows = {
+        doc_id: (nt, fp)
+        for doc_id, nt, fp in con.execute(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '{ws_sql}'))
+                   END,
+                   md5(regexp_replace(lower(trim(text)), '{ws_sql}', ' ', 'g'))
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert srows == drows
+
+
+def test_q34_normalization_collapses_vertical_tab(spark):
+    """A \x0b-bearing near-copy must reach the SAME fingerprint as its base
+    doc on BOTH engines (the q34 oracle's normalization replay) — the exact
+    future-corpus scenario the r5 verdict flagged."""
+    import duckdb
+
+    from minarrow_spark.functions.text import normalize_text
+
+    base = "alpha beta gamma"
+    # \x0b/\x0c are STRIPPED (not split on) — placed inside existing
+    # whitespace runs so the collapse yields the base text exactly
+    dirty = "alpha \x0b beta \x0c\tgamma"
+    df = spark.createDataFrame(
+        [(1, base), (2, dirty)], "doc_id long, text string"
+    )
+    from minarrow_spark.operators.dedup import exact_dedup
+
+    normed = df.withColumn("text", normalize_text(F.col("text")))
+    # \x0b inside a word is STRIPPED (joining the halves) — both docs must
+    # collapse to one fingerprint group with keep_id 1, n_copies 2
+    out = exact_dedup(normed).collect()
+    assert len(out) == 1 and out[0].keep_id == 1 and out[0].n_copies == 2
+    # and DuckDB's replay of the same normalization agrees on the fp bytes
+    fp_spark = out[0].fp
+    (fp_duck,) = duckdb.sql(
+        """
+        SELECT md5(regexp_replace(lower(trim(
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(?,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+                     '[\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}]', '', 'g'),
+                   '[ \\t\\n\\r\\f]+', ' ', 'g'))
+               )), '[ \\t\\n\\r\\f]+', ' ', 'g'))
+        """,
+        params=[dirty],
+    ).fetchone()
+    assert fp_spark == fp_duck
