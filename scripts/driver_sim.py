@@ -3,8 +3,11 @@ through __spark_entry__ in a VANILLA SparkSession and compare against the
 DuckDB oracle, exactly like the per-round CORRECTNESS_r{N}.json run.
 
 Usage: python scripts/driver_sim.py [--shuffle-order [SEED]] [--repeat N]
-                                    [sf_dir] [query_name ...]
-Defaults to /root/testdata/sf0.01 and all queries.
+                                    [--master M] [sf_dir] [query_name ...]
+Defaults to /root/testdata/sf0.01, all queries, and master local[32] —
+the driver's grading core count (r5 verdict: the sim must be bit-faithful
+to the grading environment; override with --master local[8] for quick
+low-core iteration).
 
 --shuffle-order runs the sweep in a random (seeded, printed) order instead
 of registration order — the session-state order-independence check from the
@@ -28,6 +31,7 @@ def main() -> int:
     argv = sys.argv[1:]
     shuffle_seed = None
     repeat = 1
+    master = "local[32]"
     while argv and argv[0].startswith("--"):
         if argv[0] == "--shuffle-order":
             argv.pop(0)
@@ -37,6 +41,9 @@ def main() -> int:
         elif argv[0] == "--repeat":
             argv.pop(0)
             repeat = int(argv.pop(0))
+        elif argv[0] == "--master":
+            argv.pop(0)
+            master = argv.pop(0)
         else:
             raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -44,8 +51,20 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark = SparkSession.builder.master(master).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Harness facts header: every local-vs-driver comparison should start
+    # from identical environment facts (r5 verdict task 6).
+    import duckdb as _duckdb
+
+    print(
+        f"master={spark.sparkContext.master} "
+        f"spark={spark.version} duckdb={_duckdb.__version__} "
+        f"java={spark.sparkContext._jvm.System.getProperty('java.version')} "
+        f"python={sys.version.split()[0]} sf_dir={sf_dir}",
+        flush=True,
+    )
 
     mod = importlib.import_module("__spark_entry__")
     from tests.oracle_utils import compare, duckdb_conn
