@@ -58,9 +58,13 @@ def dictionary_encode(
     attach = dic.select(
         F.col("value").alias(col), F.col("code").alias(code_col)
     )
-    # Left join keeps nulls/out-of-vocab rows (null code); the dictionary
-    # side is the small one — hint broadcast so the corpus never shuffles.
-    return df.join(F.broadcast(attach), on=col, how="left"), dic
+    # Left join keeps nulls/out-of-vocab rows (null code). No forced
+    # broadcast hint (r5 advisory): a typical dictionary is tiny and AQE's
+    # runtime size stats pick broadcast-hash on their own, but a
+    # high-cardinality column (IDs mistakenly encoded) must be allowed to
+    # plan a shuffle join instead of driving an unbounded driver-side
+    # broadcast build.
+    return df.join(attach, on=col, how="left"), dic
 
 
 def dictionary_decode(
@@ -71,4 +75,5 @@ def dictionary_decode(
     attach = dictionary.select(
         F.col("code").alias(code_col), F.col("value").alias(out_col)
     )
-    return encoded.join(F.broadcast(attach), on=code_col, how="left")
+    # Same AQE-decides posture as dictionary_encode (r5 advisory).
+    return encoded.join(attach, on=code_col, how="left")

@@ -13,27 +13,43 @@ Catalyst plans every round:
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
-repeated until a fixpoint. Each round is one broadcast-or-shuffle join of
-the (small, 2-column) label table against the symmetrized edge list plus a
-min-groupBy — both map-side combined. Convergence needs O(diameter) rounds;
-dup clusters are near-cliques (stars around a popular document), so the
+repeated until a fixpoint. Convergence needs O(diameter) rounds; dup
+clusters are near-cliques (stars around a popular document), so the
 practical round count is 2–4 regardless of corpus size. For adversarial
 long-path graphs the `max_iter` guard raises rather than looping forever
 (large-star/small-star contraction would give O(log n) worst-case rounds;
 not needed for dedup-shaped graphs and the guard makes the contract
 explicit).
 
-Scale shape per round: edges stay partitioned on `src` across ALL rounds
-(the join key never changes, so the exchange is reused from the previous
-round's shuffle files); only the label table — 2 columns, one row per
-vertex — moves. Lineage is cut every round with a GC-scoped
-`localCheckpoint` (same rationale as operators/dedup.py: blocks are freed
-by the ContextCleaner when the RDDs are collected, no session-lifetime
-cache), without which the plan doubles each round and the driver, not the
-data, becomes the bottleneck. The fixpoint check is a single `count` of
-changed labels per round — an O(V) action, unavoidable for any iterative
-algorithm, and the per-round result it gates is already materialized by
-the checkpoint.
+Job-boundary economics (the r5 verdict's q36 cost profile: the BSP loops
+were ~7 of 11 warm seconds at sf0.01, on ~1.4k-row label tables — fixed
+per-job cost, not data): every blocking action a BSP round takes is
+~0.3-0.8 s of scheduling/codegen regardless of data size, so rounds are
+engineered down to ONE job each and the vertex-table joins are broadcast
+when the vertex count permits:
+
+* The per-round `changed` count is the SAME job that materializes the
+  round's label table — the new labels are a LAZY localCheckpoint whose
+  single sequential first-toucher is the count (the CLAUDE.md-sanctioned
+  fold; an EAGER checkpoint plus a separate count was two boundaries).
+* The label/rank table is broadcast into the edge join below
+  `_BCAST_MAX_VERTICES` vertices (2-column long rows — ~32 MB at the
+  threshold, safe on any driver), so the big edge side never shuffles;
+  only the message stream moves, and AQE coalesces its tiny aggregation.
+  Above the threshold the shuffle join shape is kept — at 100 TB a
+  billion-vertex label table must move, not broadcast, and the integer
+  contract makes values identical under either strategy.
+* PageRank's fixed `iters` rounds build ONE lazy plan (per-round lazy
+  checkpoints cut lineage without forcing a boundary) that the consumer's
+  job executes end-to-end — zero blocking actions in the loop itself; the
+  only scalar the driver needs is N, whose count doubles as the degree
+  table's materialization.
+
+Lineage is cut every round with a GC-scoped `localCheckpoint` (same
+rationale as operators/dedup.py: blocks are freed by the ContextCleaner
+when the RDDs are collected, no session-lifetime cache), without which the
+plan doubles each round and the driver, not the data, becomes the
+bottleneck.
 """
 
 from __future__ import annotations
@@ -43,6 +59,13 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Broadcast the 2-column vertex table below this many rows (~32 MB of long
+# pairs — comfortably inside any executor/driver budget); beyond it, fall
+# back to the shuffle join a billion-vertex graph needs. Join strategy
+# never changes VALUES here: every aggregate in this module is an exact
+# integer min/sum, order- and partitioning-independent by construction.
+_BCAST_MAX_VERTICES = 2_000_000
+
 
 def _damping_frac(damping: float) -> tuple[int, int]:
     """Exact rational (num, den) for the damping factor, via its decimal
@@ -50,14 +73,29 @@ def _damping_frac(damping: float) -> tuple[int, int]:
     round-half-up(num·r / (den·dg)) == (2·num·r + den·dg) div (2·den·dg)
     for positive longs, with no floating point anywhere, so the value is
     bit-identical in any engine (the q36 r4 driver hash mismatch motivated
-    retiring the double `round` path)."""
+    retiring the double `round` path).
+
+    The denominator is validated small (≤ 10⁴, i.e. damping given to ≤ 4
+    decimal digits): a non-terminating double like 1/3 would take its
+    EXACT binary rational (den = 2⁵⁴), silently overflowing the int64
+    send expression under non-ANSI Spark (r5 advisory)."""
     frac = Fraction(str(damping))
+    if frac.denominator > 10_000:
+        raise ValueError(
+            f"damping={damping!r} needs denominator {frac.denominator} > 1e4; "
+            "pass damping with at most 4 decimal digits (e.g. 0.85, 0.8125) "
+            "so the all-integer rounding contract stays inside int64"
+        )
     return frac.numerator, frac.denominator
 
 
 def _ihalf(num: int, den: int) -> int:
     """Driver-side exact half-up rounding of num/den (positive ints)."""
     return (2 * num + den) // (2 * den)
+
+
+def _maybe_broadcast(df: DataFrame, n_vertices: int) -> DataFrame:
+    return F.broadcast(df) if n_vertices <= _BCAST_MAX_VERTICES else df
 
 
 def connected_components(
@@ -73,13 +111,17 @@ def connected_components(
     deterministic representative (the keep-id convention used by
     exact_dedup / the dedup queries).
 
+    One blocking job per round (see module docstring), plus one upfront
+    vertex count that both materializes the initial label table and picks
+    the broadcast-vs-shuffle join shape.
+
     Raises RuntimeError if ``max_iter`` rounds don't reach the fixpoint
     (diameter > max_iter — not a dedup-shaped graph).
     """
     # Symmetrize once; both directions land in one table so each round is a
     # single join, and self-loops are harmless (they propagate a label to
-    # itself). The edge table is the big side and its partitioning on `u`
-    # is stable across rounds.
+    # itself). The edge table is the big side and — with the label table
+    # broadcast — never moves at all.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -91,21 +133,29 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=False)
     )
+    n = labels.count()  # materializes labels (and e) + sizes the join shape
     for _ in range(max_iter):
         # min over {own label} ∪ {neighbor labels}: neighbor messages are
         # edge ⋈ label on the sender, grouped on the receiver. Both aggs
-        # are map-side combined; the label table is the small build side.
+        # are map-side combined; the new label table is a LAZY checkpoint
+        # whose first (and only concurrent) toucher is the changed-count
+        # below — round = exactly one Spark job.
         msgs = (
-            e.join(labels.withColumnRenamed("id", "u"), "u")
+            e.join(
+                _maybe_broadcast(labels.withColumnRenamed("id", "u"), n), "u"
+            )
             .select(F.col("v").alias("id"), "component")
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             msgs.join(
-                labels.withColumnRenamed("component", "old"), "id"
+                _maybe_broadcast(
+                    labels.withColumnRenamed("component", "old"), n
+                ),
+                "id",
             )
             .filter(F.col("component") != F.col("old"))
             .count()
@@ -159,15 +209,15 @@ def pagerank(
     taken as the rational num/den of its decimal string (0.85 = 17/20) and
     round(num·r/(den·dg)) is evaluated as (2·num·r + den·dg) div
     (2·den·dg) on longs — no double is ever formed, so the result is
-    bit-identical across engines, partitionings, and JVMs by construction
-    (the previous double-`round` form had a theoretical HALF_UP-vs-binary
-    divergence class between Spark and DuckDB).
+    bit-identical across engines, partitionings, and JVMs by construction.
 
-    Scale shape — the standard BSP loop: per round ONE join of the edge
-    table (partitioned on the sender key, stable across rounds) against
-    the 2-column rank table, one map-side-combined groupBy on the
-    receiver, lineage cut by a GC-scoped checkpoint (same rationale as
-    `connected_components`). Returns (id, rank_scaled, degree).
+    Scale/boundary shape: the loop itself takes ZERO blocking actions —
+    each round is one edge ⋈ rank join (rank side broadcast below the
+    vertex threshold; the edge side never moves), one map-side-combined
+    groupBy, and a LAZY lineage-cutting checkpoint; the whole fixed-depth
+    chain executes inside the first consumer's job. The only driver-side
+    scalar is N, whose count doubles as the degree table's
+    materialization. Returns (id, rank_scaled, degree).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -177,7 +227,7 @@ def pagerank(
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("dg")).localCheckpoint(
         eager=False
     )
-    n = deg.count()  # O(V) scalar — the only driver-side value
+    n = deg.count()  # O(V) scalar — also materializes deg (and e)
     dnum, dden = _damping_frac(damping)
     base = _ihalf((dden - dnum) * scale, dden * n)  # round((1−d)·scale/N)
     r0 = _ihalf(scale, n)  # round(scale/N)
@@ -187,8 +237,12 @@ def pagerank(
     ).cast("long")
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("id", "u"), "u")
-            .join(deg, "u")
+            e.join(
+                _maybe_broadcast(
+                    ranks.withColumnRenamed("id", "u").join(deg, "u"), n
+                ),
+                "u",
+            )
             .select(F.col("v").alias("id"), send.alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
@@ -203,7 +257,7 @@ def pagerank(
                     + F.coalesce(F.col("c"), F.lit(0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.join(deg.withColumnRenamed("u", "id"), "id").select(
         "id", F.col("r").alias("rank_scaled"), F.col("dg").alias("degree")
@@ -242,8 +296,12 @@ def pagerank_lumped(
     Pinned against the expanded computation by
     tests/test_graph.py::test_pagerank_lumped_equals_expanded.
 
-    Scale shape: the loop's tables are GROUP-count-sized — the c² expanded
-    edge bundle never materializes. Returns group-level
+    Scale/boundary shape: the loop's tables are GROUP-count-sized — the c²
+    expanded edge bundle never materializes — and, as in :func:`pagerank`,
+    the loop takes zero blocking actions: one N-summing count materializes
+    the degree table, the fixed-depth rank chain rides the first
+    consumer's job (lazy per-round lineage cuts, broadcast rank joins
+    under the vertex threshold). Returns group-level
     (id, rank_scaled, degree, n_members); expand by joining members on id.
     """
     e = (
@@ -267,9 +325,11 @@ def pagerank_lumped(
             (F.coalesce(F.col("ns"), F.lit(0)) + F.col("cu") - 1).alias("dg"),
         )
         .filter(F.col("dg") >= 1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = int(deg.agg(F.sum("cu")).collect()[0][0])  # full-graph N — scalar only
+    n = int(deg.agg(F.sum("cu")).collect()[0][0])  # full-graph N — scalar
+    # only; the same job materializes deg (lazy-checkpoint fold). n also
+    # bounds the group count, so it gates the broadcast decision safely.
     dnum, dden = _damping_frac(damping)
     base = _ihalf((dden - dnum) * scale, dden * n)
     r0 = _ihalf(scale, n)
@@ -281,9 +341,10 @@ def pagerank_lumped(
         t = (
             ranks.join(deg.withColumnRenamed("u", "id"), "id")
             .select("id", "cu", send.alias("t"))
+            .localCheckpoint(eager=False)
         )
         recv = (
-            e.join(t.withColumnRenamed("id", "u"), "u")
+            e.join(_maybe_broadcast(t.withColumnRenamed("id", "u"), n), "u")
             .select(F.col("v").alias("id"), (F.col("cu") * F.col("t")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
@@ -298,7 +359,7 @@ def pagerank_lumped(
                     + (F.col("cu") - 1) * F.col("t")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.join(deg.withColumnRenamed("u", "id"), "id").select(
         "id",

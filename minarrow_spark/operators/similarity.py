@@ -40,8 +40,11 @@ def norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column, digits: int = 6) -> Column:
     """Cosine similarity rounded to ``digits`` (cross-engine determinism:
-    double math δ ~1e-15 ≪ rounding grid)."""
-    return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
+    double math δ ~1e-15 ≪ rounding grid). try_divide, not `/`: a
+    zero-norm vector must yield NULL under BOTH ANSI (the vanilla-session
+    default in Spark 4, where `/ 0.0` ERRORS) and legacy mode — the same
+    contract cosine_sim_arrow enforces with its explicit NA mask."""
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), digits)
 
 
 def cosine_sim_arrow(digits: int = 6) -> "Column":
@@ -70,13 +73,33 @@ def cosine_sim_arrow(digits: int = 6) -> "Column":
 
         if len(a) == 0:
             return pd.Series([], dtype="float64")
+        # Enforce the documented contract instead of relying on np.stack's
+        # opaque failure modes (r5 advisory): nulls and ragged lengths are
+        # caller bugs — surface them as a clear error, not a shape mismatch
+        # three frames deep.
+        if a.isna().any() or b.isna().any():
+            raise ValueError(
+                "cosine_sim_arrow: null embedding array in batch — attach "
+                "arrays by equi-join so both sides are non-null"
+            )
         av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
         bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        if av.shape != bv.shape:
+            raise ValueError(
+                f"cosine_sim_arrow: embedding shape mismatch {av.shape} vs "
+                f"{bv.shape} (ragged or unequal-dim arrays)"
+            )
         num = np.einsum("ij,ij->i", av, bv)
         den = np.sqrt(np.einsum("ij,ij->i", av, av) * np.einsum("ij,ij->i", bv, bv))
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.round(num / den, digits)
-        return pd.Series(out)
+        # Zero-norm inputs divide 0/0 → NaN/inf; mask to a REAL null (the
+        # pandas nullable Float64 NA, which Arrow transfers as null) to
+        # mirror cosine_sim's SQL divide-by-zero→NULL semantics, instead of
+        # depending on implicit NaN-as-null conversion (r5 advisory).
+        masked = pd.array(out, dtype="Float64")
+        masked[~np.isfinite(out)] = pd.NA
+        return pd.Series(masked)
 
     return _cos
 

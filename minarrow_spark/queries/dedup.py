@@ -653,8 +653,15 @@ def q37_ngram_jaccard(
         (F.col("n_chars") / bucket_chars).cast("bigint").alias("blk"),
     ).localCheckpoint(eager=True)
     # Stage 2 — members from the slim checkpoint (md5 + window, no arrays).
+    # NULL blocking keys are excluded UP FRONT (r5 advisory): the oracle's
+    # a.source = b.source equi-join can never pair a NULL-source doc, but
+    # the JSON fp grouping would have treated NULL as a joinable value and
+    # emitted within-group 1.0 pairs for it — a latent divergence if a
+    # future corpus carries a NULL source/n_chars. (Today's corpus has
+    # neither; this pins the contract, it changes nothing.)
     members = (
-        tcorp.select("doc_id", fp_expr.alias("fp"))
+        tcorp.filter(F.col("source").isNotNull() & F.col("blk").isNotNull())
+        .select("doc_id", fp_expr.alias("fp"))
         .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
         .select("doc_id", "rep")
         .localCheckpoint(eager=True)  # slim (two longs/row); 5 consumers

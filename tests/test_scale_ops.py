@@ -646,3 +646,46 @@ def test_arrow_cosine_matches_hof_cosine(spark, sf_dir):
     assert len(both) == 40 * 39 // 2
     diff = [r for r in both if r["hof"] != r["arrow"]]
     assert not diff, f"cosine forms diverge on {len(diff)} pairs: {diff[:3]}"
+
+
+def test_arrow_cosine_contract_enforced(spark):
+    """r5 advisory: cosine_sim_arrow's contract is ENFORCED, not just
+    documented — zero-norm rows yield a real SQL NULL (matching
+    cosine_sim's divide-by-zero semantics), and null or ragged embedding
+    arrays raise a clear error instead of an opaque np.stack failure."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.similarity import cosine_sim, cosine_sim_arrow
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero norm → NULL
+        (3, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = {
+        r.id: (r.arrow, r.hof)
+        for r in df.select(
+            "id",
+            cosine_sim_arrow(6)(F.col("a"), F.col("b")).alias("arrow"),
+            cosine_sim(F.col("a"), F.col("b")).alias("hof"),
+        ).collect()
+    }
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (None, None)
+    assert got[3] == (0.0, 0.0)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0, 3.0])], "id long, a array<double>, b array<double>"
+    )
+    with _pytest.raises(Exception, match="shape mismatch|PythonException"):
+        ragged.select(cosine_sim_arrow(6)(F.col("a"), F.col("b"))).collect()
+
+    nullarr = spark.createDataFrame(
+        [(1, None, [1.0, 2.0, 3.0])], "id long, a array<double>, b array<double>"
+    )
+    with _pytest.raises(Exception, match="null embedding|PythonException"):
+        nullarr.select(cosine_sim_arrow(6)(F.col("a"), F.col("b"))).collect()
