@@ -689,3 +689,80 @@ def test_arrow_cosine_contract_enforced(spark):
     )
     with _pytest.raises(Exception, match="null embedding|PythonException"):
         nullarr.select(cosine_sim_arrow(6)(F.col("a"), F.col("b"))).collect()
+
+
+def test_simhash_width_auto_rule():
+    """Decision rule pinned to the SCALE.md record: upgrade to 64/4x16
+    needs BOTH large distinct-N (collision budget exceeded at 1024
+    buckets) and long docs (hamming<=3 of 64 is ~2x stricter — short-doc
+    near-dups flip more bits)."""
+    from minarrow_spark.operators.dedup import simhash_width_auto
+
+    assert simhash_width_auto(1_400, 100.0) == (32, 4)       # sf0.01 shape
+    assert simhash_width_auto(10_000_000, 100.0) == (32, 4)  # huge N, short
+    assert simhash_width_auto(1_400, 900.0) == (32, 4)       # long, small N
+    assert simhash_width_auto(10_000_000, 900.0) == (64, 4)  # web-scale
+    # threshold edge: budget*256/4 with default budget 100 -> N > 6400
+    assert simhash_width_auto(6_400, 256.0) == (32, 4)
+    assert simhash_width_auto(6_401, 256.0) == (64, 4)
+    assert simhash_width_auto(6_401, 255.9) == (32, 4)
+
+
+def test_simhash_64bit_extends_32bit(spark, sf_dir):
+    """Bits 0..31 of the 64-bit signature equal the 32-bit signature
+    bit-for-bit (both vote from the SAME unsalted md5 nibbles; bits 32+
+    read the salted second digest) — so widening never silently changes
+    the low-band keys, and 64-bit values actually exercise the high
+    longs (incl. the sign bit, OR-accumulated)."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    s32 = simhash(d, bits=32).withColumnRenamed("simhash", "s32")
+    s64 = simhash(d, bits=64).withColumnRenamed("simhash", "s64")
+    rows = s32.join(s64, "doc_id").collect()
+    assert rows
+    mask = (1 << 32) - 1
+    for r in rows:
+        assert (r.s64 & mask) == (r.s32 & mask), (r.doc_id, r.s32, r.s64)
+    assert any(r.s64 & ~mask for r in rows), "high 32 bits never set"
+
+
+def test_simhash_dedup_both_widths_cluster_clones(spark, sf_dir):
+    """simhash_dedup finds exact-clone clusters at BOTH widths (identical
+    text => identical signature at any width => hamming 0), and width
+    'auto' picks 32/4x8 on this short-doc corpus, reporting the stats it
+    decided from."""
+    from pyspark.sql import functions as F
+
+    from minarrow_spark.operators.dedup import simhash_dedup
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    expected_pairs = {
+        r.doc_id for r in d.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    # clone pairs must CO-CLUSTER (same keep_id); the corpus may carry
+    # genuine cross-doc near-dups too, so keep_id need not equal base
+    for width in (32, 64):
+        clusters, info = simhash_dedup(corpus, width=width)
+        assert info["chosen_bits"] == width
+        got = {r.doc_id: r.keep_id for r in clusters.collect()}
+        for base in expected_pairs:
+            assert base in got and (base + 100000) in got, (width, base)
+            assert got[base] == got[base + 100000], (width, base)
+    clusters, info = simhash_dedup(corpus, width="auto")
+    assert info["chosen_bits"] == 32 and info["bands"] == 4
+    assert info["distinct_n"] > 0 and info["median_tokens"] > 0
+    got = {r.doc_id: r.keep_id for r in clusters.collect()}
+    for base in expected_pairs:
+        assert got[base] == got[base + 100000]
