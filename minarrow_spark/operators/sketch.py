@@ -53,15 +53,25 @@ def cms_build(
     group_cols: list[str] | None = None,
     depth: int = 4,
     width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build one sketch per ``group_cols`` combination (or one global):
     rows (*group_cols, j, bucket, c). One explode (×depth) + one
     map-side-combined agg; the shuffle moves ≤ groups·depth·width rows —
-    constant in corpus size, the whole point."""
+    constant in corpus size, the whole point.
+
+    ``weight_col``: build from PRE-AGGREGATED (key, count) pairs instead
+    of raw rows — cell values become Σ weight, bit-identical to counting
+    the expanded rows (CMS cells are plain sums), while hashing each
+    distinct key once instead of once per occurrence. The q24 r6 win:
+    the sketch rides the (group, key) count table that the heavy-hitter
+    tier aggregates anyway, ~30× less md5 at the 100× point."""
     gc = list(group_cols or [])
     k = F.col(key_col)
+    w = F.col(weight_col) if weight_col else F.lit(1)
     rows = df.select(
         *gc,
+        w.alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -72,8 +82,12 @@ def cms_build(
                 ]
             )
         ).alias("jb"),
-    ).select(*gc, F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
-    return rows.groupBy(*gc, "j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ).select(
+        *gc, "_w", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    return rows.groupBy(*gc, "j", "bucket").agg(
+        F.sum("_w").cast("bigint").alias("c")
+    )
 
 
 def cms_estimate(

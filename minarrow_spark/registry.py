@@ -30,6 +30,17 @@ Determinism rules used throughout (see tests/test_oracle.py):
   DuckDB — inlining grows exponentially with iteration count.
 * Output columns are canonical types only: BIGINT, DOUBLE, VARCHAR,
   BOOLEAN — never raw timestamps/decimals (cross-engine hashing hazards).
+  COROLLARY (the q36 r4/r5 driver failure): DuckDB widens SUM(BIGINT) to
+  HUGEINT, and any arithmetic touching a HUGEINT stays HUGEINT — CAST
+  every sum (and every expression downstream of one) back to BIGINT in
+  the oracle SQL. fetchall() masks the difference (Python ints both
+  ways); Arrow/pandas fetch paths render HUGEINT as decimal128/float64
+  and hash-mismatch while rows and schema still match. Enforced by the
+  comparator and tests/test_oracle.py's binding-only type scan.
+* Every paired Spark/DuckDB tokenize or whitespace collapse uses the
+  explicit shared class functions.text.WS = `[ \\t\\n\\r\\f]+` — Java `\\s`
+  includes \\x0B, RE2's does not, so a bare `\\s` is a latent one-engine
+  value flip on hostile whitespace.
 * Any ORDER BY used for ranking/top-k carries a unique tie-break key.
 """
 
