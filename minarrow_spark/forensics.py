@@ -33,11 +33,16 @@ from __future__ import annotations
 
 import hashlib
 import json
-import math
 import os
 import time
 
+from minarrow_spark._canon import canon_value as _canon
+
 _ROW_CAP = 200_000
+# Keep the sidecar a signal, not a landfill: every capture prunes its tag
+# directory to the newest KEEP_LAST files (r6 accumulated 43 q36 JSONs in
+# one round — one per pytest run).
+_KEEP_LAST = 8
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -50,21 +55,18 @@ def _enabled(always: bool) -> bool:
     return always
 
 
-def _canon(v) -> str:
-    # Mirrors the local oracle comparator's canonicalization
-    # (tests/oracle_utils.canon_value) without importing from tests/ —
-    # the driver's process only has the package on its path.
-    if v is None:
-        return "<NULL>"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return "0"
-        return repr(v)
-    return str(v)
+def _rotate(out_dir: str, keep: int = _KEEP_LAST) -> None:
+    """Delete all but the newest ``keep`` capture files in ``out_dir``
+    (names are epoch-ms, so lexicographic-by-int order IS age order)."""
+    try:
+        files = sorted(
+            (f for f in os.listdir(out_dir) if f.endswith(".json")),
+            key=lambda f: int(f[:-5]) if f[:-5].isdigit() else 0,
+        )
+        for stale in files[:-keep] if keep > 0 else files:
+            os.remove(os.path.join(out_dir, stale))
+    except Exception:  # noqa: BLE001, S110 — rotation must never break capture
+        pass
 
 
 def _session_facts(spark) -> dict:
@@ -165,5 +167,6 @@ def capture(
         path = os.path.join(out_dir, f"{int(time.time() * 1000)}.json")
         with open(path, "w") as fh:
             json.dump(record, fh)
+        _rotate(out_dir)
     except Exception:  # noqa: BLE001, S110 — forensics must never break a query
         pass

@@ -664,9 +664,13 @@ def simhash_width_auto(
     collision_budget · 2⁸ / bands ⇒ expected collisions per doc >
     budget), AND documents long enough (median ≥ 256 tokens) that true
     near-dups stay within hamming 3 of 64."""
-    if distinct_n > collision_budget * (1 << 8) // 4 and median_tokens >= 256:
-        return 64, 4
-    return 32, 4
+    bands = 4  # single source for the threshold AND both return values
+    if (
+        distinct_n > collision_budget * (1 << 8) // bands
+        and median_tokens >= 256
+    ):
+        return 64, bands
+    return 32, bands
 
 
 def simhash_dedup(

@@ -248,7 +248,17 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pick = lambda df: df.select("tier", "ka", "kb", "sval", "val")
-    return pick(lg).unionByName(pick(mdf)).unionByName(pick(topt))
+    result = pick(lg).unionByName(pick(mdf)).unionByName(pick(topt))
+    # Opt-in forensics (MINARROW_FORENSICS=1): the bpe_merge tier replays a
+    # 20-iteration driver-side merge loop — per-tier md5s localize any
+    # future driver-only flake to langgrid/merges/encode in one round.
+    from minarrow_spark.forensics import capture
+
+    capture(
+        "q30", result, spark, tier_col="tier",
+        extra={"sf_dir": sf_dir, "merges": _BPE_MERGES},
+    )
+    return result
 
 
 @query(

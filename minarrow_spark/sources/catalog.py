@@ -39,6 +39,111 @@ BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Post-load schema contract (r6 verdict task 7): driver-regenerated testdata
+# has flipped parquet timestamp physical types twice (TIMESTAMP_NANOS →
+# µs-NTZ); load_table normalizes the known variants SILENTLY, so a future
+# type flip it can't absorb would first surface as a downstream oracle hash
+# mismatch — the most expensive failure mode this repo has. The contract
+# fails the LOAD instead, listing every delta. Values are simpleString
+# types; a frozenset means any member is known-good (the timestamp columns'
+# µs-tz/µs-NTZ variants both behave identically under the pinned UTC
+# session zone; events.ts is checked post-normalization, which also absorbs
+# the NANOS-long form).
+_TS = frozenset({"timestamp", "timestamp_ntz"})
+SCHEMA_CONTRACT: dict[str, dict[str, str | frozenset]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": _TS,
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": _TS,
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",  # post-normalization: NANOS-long and NTZ both land here
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+def _check_contract(name: str, df: DataFrame, path: str) -> None:
+    """Raise loudly (with the full delta table) if a loaded table's schema
+    violates SCHEMA_CONTRACT. Extra columns are fine (queries select
+    explicitly); missing columns and type deltas are not."""
+    contract = SCHEMA_CONTRACT.get(name)
+    if contract is None:
+        return
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    deltas = []
+    for col, want in contract.items():
+        got = actual.get(col)
+        accepted = want if isinstance(want, frozenset) else {want}
+        if got is None:
+            deltas.append(f"  {col}: MISSING (expected {'|'.join(sorted(accepted))})")
+        elif got not in accepted:
+            deltas.append(f"  {col}: got {got}, expected {'|'.join(sorted(accepted))}")
+    if deltas:
+        raise TypeError(
+            f"schema contract violation loading {name!r} from {path}\n"
+            + "\n".join(deltas)
+            + "\nTestdata regeneration changed parquet types in a way "
+            "load_table does not normalize; extend the normalization (and "
+            "SCHEMA_CONTRACT) deliberately instead of letting the delta "
+            "surface as a downstream oracle hash mismatch."
+        )
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -79,6 +184,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "change. Regenerate with timestamp precision or extend "
                 "load_table deliberately; refusing to silently cast."
             )
+    _check_contract(name, df, table_path(sf_dir, name))
     return df
 
 

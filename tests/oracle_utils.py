@@ -3,13 +3,12 @@
 
 from __future__ import annotations
 
-import datetime
-import math
-from decimal import Decimal
-
 import duckdb
 
+from minarrow_spark._canon import canon_value
 from minarrow_spark.sources.catalog import TABLES, table_path
+
+__all__ = ["duckdb_conn", "canon_value", "canon_rows", "compare"]
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -20,28 +19,6 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     return con
-
-
-def canon_value(v) -> str:
-    if v is None:
-        return "<NULL>"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return "0"  # normalize -0.0
-        return repr(v)
-    if isinstance(v, Decimal):
-        return repr(float(v))
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:

@@ -1,0 +1,69 @@
+"""Schema-contract gate at catalog load (r6 verdict task 7): a testdata
+regeneration that flips a column type in a way load_table does not
+normalize must fail the LOAD with the delta spelled out — not surface
+three stages later as an oracle hash mismatch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from minarrow_spark.sources.catalog import (
+    SCHEMA_CONTRACT,
+    TABLES,
+    load_table,
+    table_path,
+)
+
+from .conftest import SF_SMALL
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "contract_test",
+)
+
+
+def test_contract_covers_every_table():
+    assert set(SCHEMA_CONTRACT) == set(TABLES)
+
+
+def test_normal_loads_pass(spark):
+    for t in TABLES:
+        load_table(spark, SF_SMALL, t)  # must not raise
+
+
+def test_wrong_type_fails_loudly(spark):
+    # documents with n_chars flipped bigint→double: the exact silent-regen
+    # shape — values round-trip, downstream decimal sums quietly change.
+    bad = (
+        spark.read.parquet(table_path(SF_SMALL, "documents"))
+        .withColumn("n_chars", F.col("n_chars").cast("double"))
+    )
+    bad.write.mode("overwrite").parquet(table_path(_SCRATCH, "documents"))
+    with pytest.raises(TypeError, match="n_chars.*got double.*expected bigint"):
+        load_table(spark, _SCRATCH, "documents")
+
+
+def test_missing_column_fails_loudly(spark):
+    bad = spark.read.parquet(table_path(SF_SMALL, "region")).drop("r_name")
+    bad.write.mode("overwrite").parquet(table_path(_SCRATCH, "region"))
+    with pytest.raises(TypeError, match="r_name: MISSING"):
+        load_table(spark, _SCRATCH, "region")
+
+
+def test_extra_column_is_fine(spark):
+    ok = spark.read.parquet(table_path(SF_SMALL, "region")).withColumn(
+        "r_comment", F.lit("x")
+    )
+    ok.write.mode("overwrite").parquet(table_path(_SCRATCH, "region_extra"))
+    # load_table only accepts registry names; exercise the checker directly
+    from minarrow_spark.sources.catalog import _check_contract
+
+    _check_contract(
+        "region",
+        spark.read.parquet(table_path(_SCRATCH, "region_extra")),
+        "synthetic",
+    )  # must not raise

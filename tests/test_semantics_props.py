@@ -205,7 +205,9 @@ def test_ws_class_tokenizes_identically_cross_engine(spark):
         + ") v(doc_id, text)",
         [x for row in _HOSTILE_WS_DOCS for x in row],
     )
-    ws_sql = WS.replace("\\", "\\")  # literal class — same bytes both engines
+    # WS has no escaping to transform: the raw class is byte-identical
+    # inside a DuckDB single-quoted literal, so it embeds directly.
+    ws_sql = WS
     drows = {
         doc_id: (nt, fp)
         for doc_id, nt, fp in con.execute(
