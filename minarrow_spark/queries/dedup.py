@@ -21,7 +21,6 @@ from minarrow_spark.operators.dedup import (
     doc_shingle_arrays,
     exact_dedup,
     minhash_lsh_jaccard,
-    simhash16,
 )
 from minarrow_spark.functions.text import WS
 from minarrow_spark.queries._util import T, par
@@ -218,19 +217,37 @@ def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_votes(src: str, bits: int) -> str:
+    # Nibble j reads digest char j+1: bits 0-31 from md5(token), bits 32-63
+    # from the SECOND, salted md5('1|' || token) — the operator's exact
+    # two-digest layout (operators/dedup.simhash).
+    def nib(j: int) -> str:
+        return f"substr(h, {j + 1}, 1)" if j < 32 else f"substr(h2, {j - 31}, 1)"
+
     votes = ",\n           ".join(
-        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8 "
+        f"SUM(CASE WHEN strpos('0123456789abcdef', {nib(j)}) - 1 >= 8 "
         f"THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
     )
-    fp = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
+
+    # Bit 63 is the long's sign bit: the SQL literal 2^63 would parse as
+    # HUGEINT (the banned oracle class — comparator rejects it), so emit
+    # its two's-complement additive value instead; for distinct powers the
+    # sum equals the operator's bitwise-OR form bit-for-bit.
+    def term(j: int) -> str:
+        if j == 63:
+            return "(CASE WHEN v63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+        return f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+
+    fp = " + ".join(term(j) for j in range(bits))
+    h2 = ",\n             md5('1|' || t) AS h2" if bits > 32 else ""
     return f"""
     tok{bits} AS (
-      SELECT doc_id,
-             md5(unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'))) AS h
-      FROM {src}
+      SELECT doc_id, md5(t) AS h{h2}
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS t
+        FROM {src}
+      )
     ),
     votes{bits} AS (
       SELECT doc_id,
@@ -294,7 +311,7 @@ def _pagerank_ctes() -> str:
 def _simhash_oracle() -> str:
     return f"""
     WITH RECURSIVE
-    {_simhash_votes('documents', 16).strip().rstrip()},
+    {_simhash_votes('documents', 64).strip().rstrip()},
     corpus AS (
       SELECT doc_id, lower(trim(text)) AS text FROM documents
       UNION ALL
@@ -334,8 +351,10 @@ def _simhash_oracle() -> str:
     ),
     comp AS (SELECT id, MIN(r) AS keep FROM reach GROUP BY id),
     {_pagerank_ctes()}
-    SELECT 'hash' AS tier, doc_id, simhash AS val, CAST(0 AS BIGINT) AS aux
-    FROM sig16
+    SELECT 'hash' AS tier, doc_id, simhash & 65535 AS val, CAST(0 AS BIGINT) AS aux
+    FROM sig64
+    UNION ALL
+    SELECT 'hash64', doc_id, simhash, CAST(0 AS BIGINT) FROM sig64
     UNION ALL
     SELECT 'clusters', id, keep, CAST(id = keep AS BIGINT) FROM comp
     UNION ALL
@@ -354,6 +373,13 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * tier 'hash' — 16-bit SimHash fingerprint per raw document
       (term-frequency-weighted bit majority vote over token md5 nibbles).
+    * tier 'hash64' — the 64-bit web-dedup signature (Manku et al.,
+      WWW'07 shape: bits 32-63 vote on a SECOND salted digest; bit 63
+      lands on the long's sign bit) per raw document, hash-checked against
+      a 64-column DuckDB vote replay — the `simhash_dedup(width=64|'auto')
+      ` signature path's hard correctness signal (r6 verdict task 3).
+      Both tiers come from ONE signature aggregation: bits 0-15 of the
+      64-bit fingerprint are the 16-bit simhash by construction.
     * tier 'clusters' — the full production dedup loop over the augmented
       corpus (near-dup variants id +100000): 32-bit simhash →
       `simhash_hamming_pairs` banded blocking (4 bands × 8 bits; pigeonhole
@@ -391,13 +417,41 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.pagerank_lumped, pinned against the expanded
     computation by test) and joined back to members."""
     d = par(T(spark, sf_dir, "documents"))
-    hash16 = simhash16(d).select(
-        F.lit("hash").alias("tier"),
-        "doc_id",
-        F.col("simhash").alias("val"),
-        F.lit(0).cast("bigint").alias("aux"),
-    )
+    # One 64-bit signature aggregation serves BOTH hash tiers: bits 0-15 of
+    # the 64-bit fingerprint ARE the 16-bit simhash (same chunk/nibble/vote
+    # layout — the bits-0-31≡32-bit pytest pin, extended down), so the
+    # 'hash' tier is a low-16 mask of the same rows instead of a second
+    # token-explode pass. 'hash64' driver-checks the 64-bit signature path
+    # (salted second digest, sign-bit 63) against the DuckDB twin — the one
+    # operator surface r6 left pytest-only.
     from minarrow_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    hash_tiers = (
+        simhash(d, bits=64)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hash").alias("tier"),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(65535).cast("long"))
+                        .alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("hash64").alias("tier"),
+                        F.col("simhash").alias("val"),
+                    ),
+                )
+            ).alias("tv"),
+        )
+        .select(
+            "tv.tier",
+            "doc_id",
+            "tv.val",
+            F.lit(0).cast("bigint").alias("aux"),
+        )
+    )
     from minarrow_spark.operators.graph import dedup_clusters, pagerank_lumped
 
     corpus = augment_with_near_dups(d)
@@ -486,7 +540,7 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("degree").cast("bigint").alias("aux"),
         )
     )
-    result = hash16.unionByName(cl).unionByName(prt)
+    result = hash_tiers.unionByName(cl).unionByName(prt)
     # Pinned investigation (r5 verdict task 1): leave a canonical record of
     # what THIS process computed — per-tier md5s localize any future driver
     # mismatch to hash/clusters/pagerank in one round. always=True so it
