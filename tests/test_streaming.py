@@ -616,3 +616,54 @@ def test_streaming_ann_kill_restart_exactly_once(spark, tmp_path):
         (r["q_id"], r["c_id"], r["sim"], r["rank"]) for r in twin.collect()
     )
     assert got == want and want
+
+
+def test_streaming_dedup_simhash_widths(spark, tmp_path):
+    """Simhash-mode streaming dedup (r6 verdict task 8): streamed verdicts
+    equal the one-shot batch twin at BOTH widths, and width='auto' resolves
+    once from the first batch and stays pinned in the state lineage."""
+    import json
+
+    from minarrow_spark.operators.dedup import augment_with_near_dups
+    from minarrow_spark.streaming.dedup import (
+        batch_twin,
+        dedup_writer,
+        verdicts,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = augment_with_near_dups(
+        spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    ).select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width_ids = max(1, (hi - lo + 4) // 4)
+
+    for w in (32, 64):
+        state = str(tmp_path / f"state{w}")
+        out = str(tmp_path / f"out{w}")
+        wb = dedup_writer(state, out, method="simhash", width=w)
+        for b in range(4):  # id-ordered batches, the twin's arrival contract
+            chunk = docs.filter(
+                ((F.col("doc_id") - lo) / width_ids).cast("int") == b
+            )
+            wb(chunk, b)
+        got = {r["doc_id"]: r["is_dup"] for r in verdicts(spark, out).collect()}
+        want = {
+            r["doc_id"]: r["is_dup"]
+            for r in batch_twin(docs, method="simhash", width=w).collect()
+        }
+        assert got == want, f"width={w}"
+        assert sum(want.values()) > 0 and not all(want.values())
+
+    # 'auto' pins the first batch's choice in _WIDTH.json; every later
+    # batch reads the pinned value instead of re-deciding
+    state = str(tmp_path / "state_auto")
+    out = str(tmp_path / "out_auto")
+    wb = dedup_writer(state, out, method="simhash", width="auto")
+    wb(docs.filter(((F.col("doc_id") - lo) / width_ids).cast("int") == 0), 0)
+    with open(os.path.join(state, "_WIDTH.json")) as fh:
+        pinned = json.load(fh)
+    assert pinned["width"] in (32, 64)
+    wb(docs.filter(((F.col("doc_id") - lo) / width_ids).cast("int") == 1), 1)
+    with open(os.path.join(state, "_WIDTH.json")) as fh:
+        assert json.load(fh) == pinned  # unchanged by batch 2
