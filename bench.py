@@ -61,6 +61,29 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration(spark, reps: int = 3) -> float:
+    """Fixed-work session-noise anchor (r6 verdict task 1): best-of-``reps``
+    of the 1e9-i64 sum (the microbench kernel — same idea as the
+    reference's fixed-loop protocol, session-local). Every BENCH_rN line
+    carries it as ``calibration_s``, so a cross-round drift in the query
+    numbers can be read against a drift in constant work from the same
+    session — two consecutive rounds (r5 scale10 +18%, r6 sf0.1 +17%) each
+    cost a round of adjudication for lack of exactly this."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000_000
+    parts = 2 * spark.sparkContext.defaultParallelism
+    run = lambda: spark.range(0, n, 1, parts).agg(F.sum("id")).collect()
+    run()
+    run()  # two warm runs: C2 steady state (scripts/microbench.py note)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def gc_sweep(spark) -> None:
     """Deterministic cleanup between measured runs — local-mode measurement
     hygiene, discovered hunting a 17s q35 x10 'regression': GC-scoped
@@ -227,6 +250,7 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total",
+        "calibration_s": calibration(spark),
         # a regression that BREAKS a query must not shrink the total into a
         # fake improvement: with any error the headline value is null and
         # the line is flagged incomplete (per-query times stay visible).

@@ -417,17 +417,53 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.pagerank_lumped, pinned against the expanded
     computation by test) and joined back to members."""
     d = par(T(spark, sf_dir, "documents"))
-    # One 64-bit signature aggregation serves BOTH hash tiers: bits 0-15 of
-    # the 64-bit fingerprint ARE the 16-bit simhash (same chunk/nibble/vote
-    # layout — the bits-0-31≡32-bit pytest pin, extended down), so the
-    # 'hash' tier is a low-16 mask of the same rows instead of a second
-    # token-explode pass. 'hash64' driver-checks the 64-bit signature path
-    # (salted second digest, sign-bit 63) against the DuckDB twin — the one
-    # operator surface r6 left pytest-only.
     from minarrow_spark.operators.dedup import simhash, simhash_hamming_pairs
+    from minarrow_spark.operators.graph import dedup_clusters, pagerank_lumped
 
+    corpus = augment_with_near_dups(d)
+    members = (
+        corpus.select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)  # slim; feeds edges filter + both tiers
+    )
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("gc"))
+    # Rep-filter BEFORE the signature pass, not after: identical text ⇒
+    # identical simhash, so hashing clone members is pure redundancy — at
+    # the 10× replica point this is ~10× less token hashing (the join
+    # prunes the corpus to one row per distinct text; output unchanged,
+    # sig was rep-filtered either way).
+    # ONE 64-bit signature pass serves all three signature consumers
+    # (r7 task 3 follow-up): the banding signature is its low-32 mask
+    # (bits 0-31 of the 64-bit fingerprint ARE the 32-bit simhash — the
+    # pinned chunk/nibble/vote equivalence), and both raw-doc hash tiers
+    # ('hash' = low-16, 'hash64' = full) attach rep signatures through the
+    # members table instead of running a second token-explode pass over
+    # raw documents. The extra cost over the old 32-bit pass is the salted
+    # second digest + 32 more vote sums on REP rows only.
+    # Deliberately NOT checkpointed although both band sides of
+    # simhash_hamming_pairs reference sig: the hash pipeline is cheap at
+    # the 10× point (runtime exchange reuse shares the heavy explode
+    # shuffle), and materializing it flips the band self-join's planning
+    # such that the ~28M-collision generation lands measurably worse
+    # (18.5s vs 14.8s q36 total at 10× — measured both ways, kept faster).
+    sig64 = simhash(corpus.join(F.broadcast(rep_ids), "doc_id"), bits=64)
+    sig = sig64.select(
+        "doc_id",
+        F.col("simhash")
+        .bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+        .alias("simhash"),
+    )
+    # Raw-doc hash tiers: every raw doc's signature is its rep's signature
+    # (identical text). A rep can be a variant id when a raw doc's text
+    # equals a variant's — the attached VALUE is still exact for the same
+    # reason. 'hash64' driver-checks the 64-bit path (salted second digest,
+    # sign-bit 63) against a 64-column DuckDB vote replay — the one
+    # operator surface r6 left pytest-only.
     hash_tiers = (
-        simhash(d, bits=64)
+        members.join(d.select("doc_id"), "doc_id", "left_semi")
+        .join(sig64.withColumnRenamed("doc_id", "rep"), "rep")
         .select(
             "doc_id",
             F.explode(
@@ -452,29 +488,6 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint").alias("aux"),
         )
     )
-    from minarrow_spark.operators.graph import dedup_clusters, pagerank_lumped
-
-    corpus = augment_with_near_dups(d)
-    members = (
-        corpus.select("doc_id", F.md5("text").alias("fp"))
-        .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
-        .select("doc_id", "rep")
-        .localCheckpoint(eager=True)  # slim; feeds edges filter + both tiers
-    )
-    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("gc"))
-    # Rep-filter BEFORE the signature pass, not after: identical text ⇒
-    # identical simhash, so hashing clone members is pure redundancy — at
-    # the 10× replica point this is ~10× less token hashing (the join
-    # prunes the corpus to one row per distinct text; output unchanged,
-    # sig was rep-filtered either way).
-    # Deliberately NOT checkpointed although both band sides of
-    # simhash_hamming_pairs reference sig: the hash pipeline is only ~1.5s
-    # at the 10× point (runtime exchange reuse shares the heavy explode
-    # shuffle), and materializing it flips the band self-join's planning
-    # such that the ~28M-collision generation lands measurably worse
-    # (18.5s vs 14.8s q36 total at 10× — measured both ways, kept faster).
-    sig = simhash(corpus.join(F.broadcast(rep_ids), "doc_id"), bits=32)
     # eager checkpoint: both the components fixpoint and the pagerank loop
     # consume the banded self-join — concurrent first touch would run it
     # twice (the q35 rule)

@@ -468,18 +468,28 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts, 4-gram counts) over the same exploded streams; fusing them
     # cut q32's 100× time by ~a third. The fused table feeds four
     # consumers, so it is GC-scope checkpointed once (the q35 rule).
+    # Gram keys are INT-FOLDED before the shuffle (r7 task 2, measured):
+    # no consumer ever needs the gram text — only equality (within-doc
+    # counts, vocab counts, doc-frequency) — so each occurrence carries
+    # xxhash64(gram) (8 bytes) instead of the string (7-40+ bytes; the
+    # 4-gram arm is the widest). Soundness: same class as the md5 collapse
+    # keys (q35/q36) — a 64-bit key over the ≤1e8 distinct grams of any
+    # per-job corpus partition collides with probability ~1e-7 per corpus
+    # (deterministic, not flaky, when it ever does); at true 100 TB vocab
+    # scale (1e10+ distinct grams) swap in a two-long 128-bit fold — the
+    # aggregation shape is unchanged.
     ne = base.filter(F.col("_t") != "")
+
+    def arm(col: str, k: int):
+        return ne.select(
+            "doc_id", F.lit(k).alias("k"), F.explode(F.col(col)).alias("gs")
+        ).select("doc_id", "k", F.xxhash64("gs").alias("g"))
+
     occ = (
-        ne.select("doc_id", F.lit(1).alias("k"), F.explode("lw").alias("g"))
-        .unionByName(
-            ne.select("doc_id", F.lit(2).alias("k"), F.explode("sh2").alias("g"))
-        )
-        .unionByName(
-            ne.select("doc_id", F.lit(3).alias("k"), F.explode("sh3").alias("g"))
-        )
-        .unionByName(
-            ne.select("doc_id", F.lit(4).alias("k"), F.explode("sh4").alias("g"))
-        )
+        arm("lw", 1)
+        .unionByName(arm("sh2", 2))
+        .unionByName(arm("sh3", 3))
+        .unionByName(arm("sh4", 4))
     )
     # NOT checkpointed: at 100× this table is ~2.4B rows — materializing it
     # measured 85-114s vs 45s unfused (the checkpoint write+read dwarfs the
@@ -945,6 +955,27 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, 6, F.size(toks))).alias("text"),
     )
     train = base.filter(F.col("doc_id") % 25 != 0).unionByName(variants)
+    # Exact-content collapse (r7 task 4 — the q35/q36/q37 discipline applied
+    # to the contamination check): identical train text ⇒ identical gram
+    # set ⇒ identical (n_shared, frac_shared, severity), so the heavy
+    # shingle+explode pass runs on ONE representative per distinct text and
+    # per-doc rows expand through the slim members table afterwards. The
+    # one multiplicity-sensitive quantity is gram doc-frequency (df counts
+    # DOCS, clones included) — computed as Σ group-size over the reps
+    # containing the gram, which is exact. At the 100× replica point this
+    # deletes ~99% of the train-side shingle work; on clone-free data the
+    # overhead is the fp projection + one slim window + the expansion join.
+    members = (
+        train.select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)  # slim; feeds ntr, gsz, rep filter, expansion
+    )
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("gc"))
+    # No broadcast hint on the rep filter: rep count == distinct-text count,
+    # which is corpus-sized on clone-free data — AQE broadcasts when small.
+    train_reps = train.join(rep_ids, "doc_id", "left_semi")
     garr = lambda df: df.select(
         "doc_id", F.array_distinct(shingles(F.col("text"), 8)).alias("garr")
     )
@@ -954,11 +985,13 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of which survive the bench-gram join — so the separate
     # size-of-garr projection (a SECOND full train-side shingle pass; no
     # exchange below it means no runtime reuse) is gone entirely.
-    tg = garr(train).select(
-        "doc_id", F.size("garr").alias("n_grams"), F.explode("garr").alias("gram")
+    tg = garr(train_reps).select(
+        F.col("doc_id").alias("rep"),
+        F.size("garr").alias("n_grams"),
+        F.explode("garr").alias("gram"),
     )
-    ntr = train.agg(F.count(F.lit(1)).alias("n"))
-    # Shared (doc, gram) rows: benchmark-bounded, feeds two consumers
+    ntr = members.agg(F.count(F.lit(1)).alias("n"))  # train size, no text scan
+    # Shared (rep, gram) rows: benchmark-bounded, feeds two consumers
     # (doc-frequency + weighted rollup) — materialize once, GC-scoped.
     # eager=False is safe ONLY because the dfg side below is an explicit
     # F.broadcast: the broadcast job runs (and materializes this checkpoint)
@@ -969,7 +1002,11 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = (
         tg.join(F.broadcast(bg), "gram").localCheckpoint(eager=False)
     )
-    dfg = shared.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    dfg = (
+        shared.join(gsz, "rep")
+        .groupBy("gram")
+        .agg(F.sum("gc").cast("bigint").alias("df"))
+    )
     w = (
         F.round(F.log(F.col("n").cast("double") / F.col("df")), 6)
         .cast("decimal(18,6)")
@@ -977,7 +1014,7 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sev = (
         shared.join(F.broadcast(dfg.crossJoin(ntr).select("gram", w)), "gram")
-        .groupBy("doc_id")
+        .groupBy("rep")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
             F.sum("w").alias("severity"),
@@ -986,7 +1023,10 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_grams").alias("n_grams"),
         )
     )
-    return sev.select(
+    # Expansion: every member of a contaminated rep group is contaminated
+    # with the SAME metrics (identical text); sev is benchmark-bounded, so
+    # AQE broadcasts it against the slim members table.
+    return members.join(sev, "rep").select(
         "doc_id",
         F.col("n_shared").cast("bigint").alias("n_shared"),
         F.round(

@@ -15,6 +15,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Forensics sidecars execute an extra guarded collect inside the query
+# build — diagnostics that must stay OUT of timed windows (bench.py and
+# scale10_probe.py already do this; r7 closed the gap here).
+os.environ.setdefault("MINARROW_FORENSICS", "0")
 
 import bench
 from minarrow_spark.registry import all_queries

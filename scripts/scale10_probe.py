@@ -10,7 +10,12 @@ queries), not a plan regression.
 Separately, `--isolated q01_pricing_summary ...` runs ONE query in this
 fresh process (for per-query isolated numbers from separate JVMs).
 
-Usage: python scripts/scale10_probe.py [--isolated NAME] [--reps N]
+`--headline` (r6 verdict task 1) runs the 9-query sf0.1 HEADLINE set under
+the same two-pass best-of-N protocol instead of the 10× set — the
+adjudication harness for cross-round drifts in the driver bench's sf0.1
+line. A calibration anchor (bench.calibration) is measured per pass.
+
+Usage: python scripts/scale10_probe.py [--isolated NAME] [--reps N] [--headline]
 Output: one JSON line.
 """
 
@@ -46,6 +51,7 @@ def best_of(spark, fn, sf_dir: str, warm: int, reps: int) -> float:
 def main() -> None:
     argv = sys.argv[1:]
     isolated = None
+    headline = False
     reps = 5
     while argv and argv[0].startswith("--"):
         if argv[0] == "--isolated":
@@ -54,28 +60,40 @@ def main() -> None:
         elif argv[0] == "--reps":
             argv.pop(0)
             reps = int(argv.pop(0))
+        elif argv[0] == "--headline":
+            argv.pop(0)
+            headline = True
         else:
             raise SystemExit(f"unknown flag {argv[0]}")
 
     spark = get_spark("scale10_probe")
     qs = all_queries()
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    bench._build_x10(spark, src)
+
+    if headline:
+        names = sorted(n for n, q in qs.items() if q.bench)
+        run_dir = src
+    else:
+        bench._build_x10(spark, src)
+        names = list(bench._X10_QUERIES)
+        run_dir = bench._X10_DIR
 
     if isolated:
-        t = best_of(spark, qs[isolated].fn, bench._X10_DIR, warm=2, reps=reps)
+        t = best_of(spark, qs[isolated].fn, run_dir, warm=2, reps=reps)
         print(json.dumps({"isolated": isolated, "best": t, "reps": reps}))
         return
 
-    out: dict = {"reps": reps, "passes": []}
+    out: dict = {"reps": reps, "set": "headline" if headline else "x10", "passes": []}
     for p in range(2):
         times = {}
-        for name in bench._X10_QUERIES:
-            times[name] = best_of(
-                spark, qs[name].fn, bench._X10_DIR, warm=2, reps=reps
-            )
+        for name in names:
+            times[name] = best_of(spark, qs[name].fn, run_dir, warm=2, reps=reps)
         out["passes"].append(
-            {"total": round(sum(times.values()), 3), "queries": times}
+            {
+                "total": round(sum(times.values()), 3),
+                "queries": times,
+                "calibration_s": bench.calibration(spark),
+            }
         )
     print(json.dumps(out))
 
