@@ -311,7 +311,7 @@ def q23_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A3", "A4", "A7", "A9", "A10"),
 )
 def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates via exact-decimal partial sums (A9: the
+    """Statistical aggregates via exact scaled-long partial sums (A9: the
     reference delegates these to its simd-kernels crate; here they're
     order-independent by construction). Includes exact count-distinct (A3),
     null counting (A7), and the HyperLogLog++ cardinality estimator (A4,
@@ -322,8 +322,10 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check an approximate query would otherwise get. Same
     pattern for quantiles: exact interpolated median/p90 (linear
     interpolation matches DuckDB `quantile_cont`; rounded to 6 digits) with
-    the `percentile_approx` sketch — the 100 TB path, since exact
-    percentiles sort within groups — bounded to ±1 quantity unit.
+    the `percentile_approx` sketch bounded to ±1 quantity unit. The exact
+    percentiles are computed from a (returnflag, quantity) weighted
+    histogram, NOT `F.percentile` — see the inline note (r7: the all-values
+    percentile buffer was the last unbounded-state aggregate here).
 
     Physical shape: the EXACT distinct counts come from two-level
     aggregations joined back on the 3-row group key — NOT from
@@ -344,10 +346,24 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks against DuckDB (top_part_cms ≥ top_part_n by CMS's
     overestimate-only guarantee)."""
     l = T(spark, sf_dir, "lineitem")
-    q = dec("l_quantity")
-    s1 = F.sum(q).cast("double")
-    s2 = F.sum((q * q).cast("decimal(38,4)")).cast("double")
     n = F.count(F.lit(1))
+
+    # Declarative tier SPLIT from the sketch tier (r7, measured at 100×):
+    # approx_count_distinct / percentile_approx are TypedImperativeAggregates
+    # — one of them in an agg moves the WHOLE aggregation onto the per-row
+    # ObjectHashAggregate path, so the 17 cheap declarative columns ran
+    # object-ized too (fused: 16.3 s; split: decl 1.9 s + sketches 4.7 s at
+    # 100× — the join is 3 rows). Quantity sums ride scaled longs (the
+    # q04 cents pattern; |qty| ≤ 50 ⇒ cents ≤ 5e3, qty²·1e4 ≤ 2.5e7 per
+    # row — at true 100 TB row counts salt to (flag, salt) long partials
+    # first, the q01 pattern, before the long ceiling ~3e11 rows/group).
+    # s1c/100.0 and s2u/10000.0 are single correctly-rounded IEEE divides,
+    # equal to the old decimal→double casts bit-for-bit, so avg/var keep
+    # the oracle's exact op order.
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    qq = F.round(F.col("l_quantity") * F.col("l_quantity") * 10000).cast("long")
+    s1 = (F.sum(qc) / F.lit(100.0)).cast("double")
+    s2 = (F.sum(qq) / F.lit(10000.0)).cast("double")
 
     main = l.groupBy("l_returnflag").agg(
         n.alias("n"),
@@ -358,11 +374,6 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_null_qty"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
-        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
-        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
-        F.percentile_approx("l_quantity", 0.9).alias("_p90a"),
         # A5/A9 depth: equi-width histogram of quantity (10 buckets of
         # width 5 over [1, 50]) as conditional sums — fixed-size partials,
         # map-side combined, the portable form width_bucket lacks in DuckDB
@@ -376,6 +387,76 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 7, 1).otherwise(0)).cast("bigint").alias("h7"),
         F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 8, 1).otherwise(0)).cast("bigint").alias("h8"),
         F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 9, 1).otherwise(0)).cast("bigint").alias("h9"),
+    )
+
+    # Sketch tier: the three bounded-state estimators in their own
+    # ObjectHashAggregate. percentile_approx accuracy is sized to the bound
+    # the output actually asserts (±1 quantity unit): a unit spans ~2% of
+    # the rank space over the ~50 uniform unit values, and accuracy=1000
+    # bounds rank error at 0.1% — 20× inside the check, at half the update
+    # cost of the 10000 default (measured 5.65 → 2.68 s at 100×). Still
+    # deterministic for fixed input, so *_ok stays hash-checked.
+    sketches = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.percentile_approx("l_quantity", 0.9, 1000).alias("_p90a"),
+    )
+
+    # Exact percentiles from a value HISTOGRAM, not F.percentile (r7): exact
+    # percentile is a per-group all-values sort — its partial buffers carry
+    # every row and the merge shuffles ALL 60M quantities into 3 reducer
+    # groups (the one remaining unbounded-state aggregate in this query; at
+    # 100 TB it is a straight OOM). l_quantity has ~50 distinct unit-grained
+    # values, so the exact interpolated percentile is a function of the
+    # (returnflag, quantity) weighted histogram: ~150 rows after map-side
+    # combine, a near-empty shuffle. The interpolation reproduces Spark's
+    # Percentile (and the oracle's quantile_cont, already 6-digit-round
+    # compatible) BIT-identically: pos = p*(n-1) (double), frac = pos -
+    # floor(pos) is exact (Sterbenz), v_hi - v_lo is an exact small-integer
+    # double, and the final v_lo + (v_hi - v_lo)*frac is the same IEEE op
+    # order Percentile.getPercentile evaluates. Nulls excluded from n, as
+    # F.percentile does.
+    qh = (
+        l.filter(F.col("l_quantity").isNotNull())
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("qn"))
+        .select(
+            "l_returnflag", F.col("l_quantity").cast("double").alias("v"), "qn"
+        )
+        .withColumn(
+            "cum",
+            F.sum("qn").over(
+                W.partitionBy("l_returnflag")
+                .orderBy("v")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("nt", F.sum("qn").over(W.partitionBy("l_returnflag")))
+        .withColumn("cumprev", F.col("cum") - F.col("qn"))
+    )
+
+    def _pct_cols(p: float, alias: str):
+        pos = F.lit(p) * (F.col("nt") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        at = lambda idx: F.max(
+            F.when((F.col("cumprev") <= idx) & (idx < F.col("cum")), F.col("v"))
+        )
+        return [
+            at(lo).alias(f"_{alias}_vlo"),
+            at(hi).alias(f"_{alias}_vhi"),
+            F.first(pos - lo.cast("double")).alias(f"_{alias}_frac"),
+        ]
+
+    def _pct_val(alias: str):
+        vlo, vhi, frac = (
+            F.col(f"_{alias}_vlo"),
+            F.col(f"_{alias}_vhi"),
+            F.col(f"_{alias}_frac"),
+        )
+        return F.round(vlo + (vhi - vlo) * frac, 6)
+
+    pcts = qh.groupBy("l_returnflag").agg(
+        *_pct_cols(0.5, "median_qty"), *_pct_cols(0.9, "p90_qty")
     )
 
     def exact_distinct(col: str, alias: str):
@@ -437,11 +518,14 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     joined = (
-        main.join(n_parts, "l_returnflag")
+        main.join(sketches, "l_returnflag")
+        .join(n_parts, "l_returnflag")
         .join(exact_distinct("l_orderkey", "_n_orders"), "l_returnflag")
+        .join(F.broadcast(pcts), "l_returnflag")
         .join(F.broadcast(top1), "l_returnflag")
         .join(F.broadcast(est), ["l_returnflag", "top_part"])
     )
+    p90 = _pct_val("p90_qty")
     return joined.select(
         "l_returnflag",
         "n",
@@ -451,13 +535,13 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_qty",
         "n_parts",
         "n_null_qty",
-        "median_qty",
-        "p90_qty",
+        _pct_val("median_qty").alias("median_qty"),
+        p90.alias("p90_qty"),
         within(F.col("_ap"), F.col("n_parts")).alias("approx_parts_ok"),
         within(F.col("_ao"), F.col("_n_orders")).alias("approx_orders_ok"),
         # quantity is unit-grained, so the t-digest-style sketch (the 100 TB
         # path) must land within one unit of the exact-sort percentile
-        (F.abs(F.col("_p90a").cast("double") - F.col("p90_qty")) <= 1.0).alias(
+        (F.abs(F.col("_p90a").cast("double") - p90) <= 1.0).alias(
             "approx_p90_ok"
         ),
         "top_part",

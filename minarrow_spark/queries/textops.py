@@ -432,15 +432,44 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minarrow_spark.functions.text import shingles
 
     d = par(T(spark, sf_dir, "documents"))
+    # Exact-content collapse (r7 — the q35/q36/q37/q41 discipline): every
+    # signal here is a function of the TEXT plus corpus-level counts, so
+    # the tokenize/shingle/explode machinery (the dominant cost: ~2.4B
+    # exploded gram rows at the 100× replica point) runs on ONE
+    # representative per distinct text. Corpus-level counts stay exact by
+    # carrying the clone-group size `gc` on every occurrence row: vocab
+    # counts sum cw·gc, and 4-gram doc-frequency sums gc over the reps
+    # containing the gram (df counts docs, clones included — a gram whose
+    # only rep has gc ≥ 2 IS shared). Per-doc metrics expand through the
+    # slim members table; `source` rides the raw doc row (clones of one
+    # text may come from different sources).
+    # rep AND group size ride ONE whole-partition window (same frame, no
+    # extra shuffle); `source` rides along so the expansion below needs no
+    # second documents scan. At small SF the fixed job/stage count is the
+    # scarce resource (CLAUDE.md), so the collapse layer is exactly one
+    # window + one checkpoint + one join.
+    wfp = W.partitionBy("fp")
+    members = (
+        d.select("doc_id", "source", F.md5("text").alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(wfp))
+        .withColumn("gc", F.count(F.lit(1)).over(wfp))
+        .select("doc_id", "source", "rep", "gc")
+        .localCheckpoint(eager=True)  # slim; feeds rep attach + expansion
+    )
+    # One inner join attaches (rep-filter AND gc) in a single stage; no
+    # broadcast hint — rep count == distinct-text count, corpus-sized on
+    # clone-free data, AQE broadcasts when small (the q41 rule).
+    grp = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "gc")
+    dr = d.join(grp, "doc_id")
     score = quality_score(F.col("text"))
     toks = tokens(F.col("text"))
     n_tok = token_count(F.col("text")).cast("double")
     ttr = F.when(
         n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
     ).otherwise(F.lit(1.0))
-    base = d.select(
+    base = dr.select(
         "doc_id",
-        "source",
+        "gc",
         score.alias("score"),
         ttr.alias("ttr"),
         n_tok.alias("n_tokd"),
@@ -482,8 +511,8 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def arm(col: str, k: int):
         return ne.select(
-            "doc_id", F.lit(k).alias("k"), F.explode(F.col(col)).alias("gs")
-        ).select("doc_id", "k", F.xxhash64("gs").alias("g"))
+            "doc_id", "gc", F.lit(k).alias("k"), F.explode(F.col(col)).alias("gs")
+        ).select("doc_id", "gc", "k", F.xxhash64("gs").alias("g"))
 
     occ = (
         arm("lw", 1)
@@ -496,8 +525,14 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saved shuffles). The four consumers share the ONE groupBy exchange
     # via runtime reuse (canonically identical subplans); only the cheap
     # reduce-side final agg re-executes per consumer.
-    dkg = occ.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
-    gd = dkg.filter(F.col("k") == 4).select("doc_id", "g", F.col("c").alias("occ"))
+    # first("gc") is deterministic: gc is constant per doc_id (the q41
+    # rides-the-exploded-rows trick) — no separate gsz join on the big table.
+    dkg = occ.groupBy("doc_id", "k", "g").agg(
+        F.count(F.lit(1)).alias("c"), F.first("gc").alias("gc")
+    )
+    gd = dkg.filter(F.col("k") == 4).select(
+        "doc_id", "g", F.col("c").alias("occ"), "gc"
+    )
     # Gram doc-frequency as a map-side-combined agg + semi-join back — NOT a
     # count-over-window on the gram key: window partitions get no partial
     # aggregation and no AQE skew split, so at 100× the hottest boilerplate
@@ -506,7 +541,7 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark-of-itself-sized and the semi-join carries no payload.
     shared_grams = (
         gd.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("dfg"))
+        .agg(F.sum("gc").alias("dfg"))  # doc-frequency counts clones too
         .filter(F.col("dfg") >= 2)
         .select("g")
     )
@@ -528,9 +563,11 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(0)).alias("d3d"),
     )
     dw = dkg.filter(F.col("k") == 1).select(
-        "doc_id", F.col("g").alias("w"), F.col("c").alias("cw")
+        "doc_id", F.col("g").alias("w"), F.col("c").alias("cw"), "gc"
     )
-    cnt = dw.groupBy("w").agg(F.sum("cw").cast("bigint").alias("c"))
+    cnt = dw.groupBy("w").agg(
+        F.sum(F.col("cw") * F.col("gc")).cast("bigint").alias("c")
+    )
     tot = cnt.agg(F.sum("c").alias("n"))
     # per-(doc, word) surprisal × multiplicity — exact: the rounded
     # per-value decimal is fixed per word, so cw · nll_w == Σ_{cw} nll_w
@@ -565,10 +602,18 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("d3d"), F.lit(0)) > 0,
         F.round(F.col("d3n").cast("double") / F.col("d3d").cast("double"), 6),
     ).otherwise(F.lit(0.0))
-    result = (
+    # Expansion: per-rep metrics attach to every member (identical text ⇒
+    # identical per-doc values); `source` comes from the raw doc row. The
+    # array columns in `base` are column-pruned out of this branch.
+    metrics = (
         base.join(docn, "doc_id", "left")
         .join(bp, "doc_id", "left")
         .join(repd, "doc_id", "left")
+        .drop("gc")  # members carries the authoritative copy
+        .withColumnRenamed("doc_id", "rep")
+    )
+    result = (
+        members.join(metrics, "rep")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

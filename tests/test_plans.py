@@ -69,7 +69,10 @@ def test_global_plan_contracts(spark, sf_dir):
     from minarrow_spark.plans.inspect import _executed_plan
 
     # static-node allowances for shared-unmaterialized-exchange plans
-    allowance = {"q32_quality_score": 16}
+    # q24 (r7): the main agg split into declarative + sketch tiers plus the
+    # ~150-row quantity-histogram percentile adds exchanges that carry 3-150
+    # rows each — the lineitem-sized exchanges are unchanged (see SCALE.md).
+    allowance = {"q32_quality_score": 16, "q24_agg_stats": 16}
     offenders = []
     for name, q in QUERIES.items():
         df = q.fn(spark, sf_dir)

@@ -766,3 +766,47 @@ def test_simhash_dedup_both_widths_cluster_clones(spark, sf_dir):
     got = {r.doc_id: r.keep_id for r in clusters.collect()}
     for base in expected_pairs:
         assert got[base] == got[base + 100000]
+
+
+def test_q32_collapse_cloned_corpus_oracle(spark, sf_dir, tmp_path):
+    """q32's exact-content collapse vs the DuckDB oracle on a CLONED corpus
+    (the CLAUDE.md rule: verify any new collapse family on cloned data
+    BEFORE trusting it at scale). Mixed multiplicities (doc_id%3 -> 1/2/3
+    copies) exercise group-size-dependent paths — vocab counts (cw*gc),
+    4-gram doc-frequency (sum gc; a gram whose only rep has gc>=2 IS
+    shared -> clones flag as boilerplate), and the member expansion.
+    Clones get a DIFFERENT source, so per-source attribution must ride the
+    raw doc row, not the rep."""
+    import os
+
+    import duckdb
+
+    from minarrow_spark.registry import all_queries
+    from minarrow_spark.sources.catalog import TABLES, table_path
+    from tests.oracle_utils import compare, duckdb_conn
+
+    clone_dir = str(tmp_path / "q32_clones")
+    os.makedirs(clone_dir)
+    src_docs = table_path(sf_dir, "documents")
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src_docs}')
+          UNION ALL
+          SELECT doc_id + 10000000, text, lang, 'clone_a' AS source, n_chars
+          FROM read_parquet('{src_docs}') WHERE doc_id % 3 IN (1, 2)
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, 'clone_b' AS source, n_chars
+          FROM read_parquet('{src_docs}') WHERE doc_id % 3 = 2
+        ) TO '{clone_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(sf_dir, t), table_path(clone_dir, t))
+
+    q = all_queries()["q32_quality_score"]
+    ok, msg = compare(q.fn(spark, clone_dir), duckdb_conn(clone_dir), q.oracle)
+    assert ok, msg
