@@ -289,19 +289,34 @@ def q05_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one large order (left-semi = EXISTS), with
     Bloom scan pruning (operators/bloom.py): the qualifying order keys
-    aggregate into a 2 KB filter (map-side combined, model state) that
-    drops non-matching customers AT THE SCAN, before the join shuffle —
-    the exact semi-join then removes the false positives, so results are
+    aggregate into an NDV-sized filter (map-side combined, model state)
+    that drops non-matching customers AT THE SCAN, before the join shuffle
+    — the exact semi-join then removes the false positives, so results are
     identical to the plain semi-join (oracle unchanged) while the shuffle
-    carries only plausible matches. At 100 TB this is the explicit form of
-    runtime row filtering: MB-scale sketch vs shuffling the whole probe
-    side."""
-    from minarrow_spark.operators.bloom import bloom_build, bloom_might_contain
+    carries only plausible matches. bloom_build_auto is COST-AWARE and
+    REFUSES when the filter can't pay: on this predicate ~95% of custkeys
+    qualify (no pruning possible at any scale), and at 100× replica scale
+    the ~1M distinct keys would saturate any literal-sized filter — the
+    old always-on fixed 2 KB filter measured 12.2 s of pure overhead vs
+    1.6 s for the refusal path's plain exact semi-join (SCALE.md). The
+    correct 100 TB plan for a non-selective dim IS the plain join; the
+    two one-row HLL decision probes are the price of knowing that."""
+    from minarrow_spark.operators.bloom import bloom_build_auto, bloom_might_contain
 
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    words = bloom_build(o.select("o_custkey"), "o_custkey")
-    pruned = c.filter(bloom_might_contain(F.col("c_custkey"), words))
+    built = bloom_build_auto(
+        o.select("o_custkey"),
+        "o_custkey",
+        probe_keys=c.select("c_custkey"),
+        probe_key="c_custkey",
+    )
+    pruned = c
+    if built is not None:
+        words, n_bits = built
+        pruned = c.filter(
+            bloom_might_contain(F.col("c_custkey"), words, n_bits=n_bits)
+        )
     return (
         pruned.join(o, pruned.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_mktsegment")

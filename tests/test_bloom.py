@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from minarrow_spark.operators.bloom import (
     bloom_build,
+    bloom_build_auto,
     bloom_might_contain,
     bloom_semi_join,
 )
@@ -41,6 +42,42 @@ def test_semi_join_equivalence(spark, tables):
     assert got == want and got
 
 
+def test_auto_sizes_from_ndv(spark, tables):
+    dim, _ = tables
+    # 100 keys × 10 bits → min_bits floor (16384)
+    built = bloom_build_auto(dim, "k")
+    assert built is not None
+    words, n_bits = built
+    assert n_bits == 1 << 14
+    assert words == bloom_build(dim, "k", n_bits=n_bits)
+    # ~40k keys × 10 bits → next pow2 = 2^19, inside the cap
+    mid = spark.range(0, 40000).select(F.col("id").alias("k"))
+    _, mid_bits = bloom_build_auto(mid, "k")
+    assert mid_bits == 1 << 19
+
+
+def test_auto_refuses_on_saturating_ndv(spark):
+    # 1M distinct keys × 10 bits ≫ max_bits → refusal, not a useless filter
+    big = spark.range(0, 1_000_000).select(F.col("id").alias("k"))
+    assert bloom_build_auto(big, "k") is None
+    # bloom_semi_join stays exact through the refusal path
+    fact = spark.range(0, 5000).select((F.col("id") * 400).alias("k"), "id")
+    got = sorted(r["id"] for r in bloom_semi_join(fact, big, "k").collect())
+    want = sorted(r["id"] for r in fact.join(big, "k", "left_semi").collect())
+    assert got == want and got
+
+
+def test_auto_refuses_on_non_selective_dim(spark, tables):
+    dim, fact = tables
+    # dim covers 95% of the probe domain → filter passes ~everything →
+    # refusal (the q06 lesson: a fitting filter can still never pay)
+    wide = spark.range(0, 4750).select(F.col("id").alias("k"))
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    assert bloom_build_auto(wide, "k", probe_keys=probe) is None
+    # a genuinely selective dim (2% of the domain) still builds
+    assert bloom_build_auto(dim, "k", probe_keys=probe) is not None
+
+
 def test_bits_replay_in_duckdb(spark, tables):
     dim, _ = tables
     words = bloom_build(dim, "k", n_hashes=3, n_bits=1 << 10)
@@ -48,8 +85,9 @@ def test_bits_replay_in_duckdb(spark, tables):
     rows = con.execute(
         """
         WITH keys AS (SELECT (i * 7) AS k FROM range(0, 100) t(i))
-        SELECT DISTINCT CAST(CAST(('0x' || substr(md5('h' || h.i || '|'
-                   || CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS p
+        SELECT DISTINCT CAST(CAST(('0x' || substr(md5('d' || (h.i // 4) || '|'
+                   || CAST(k AS VARCHAR)), 1 + 8 * (h.i % 4), 8)) AS UBIGINT)
+                   % 1024 AS BIGINT) AS p
         FROM keys, range(0, 3) h(i)
         """
     ).fetchall()
