@@ -515,45 +515,42 @@ def jaccard_pairs_arr(cands: DataFrame, dsa: DataFrame) -> DataFrame:
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """``bits``-wide simhash per doc from token md5 nibbles (bits ≤ 64 —
-    one md5 per token covers nibbles 0-31; bits 32-63 read a SECOND,
-    salted md5 of the same token, so the 64-bit web-dedup shape (Manku et
-    al., WWW'07) needs no new hash machinery).
+    """``bits``-wide simhash per doc from ONE md5 per token (bits ≤ 64):
+    bit j < 32 reads the HIGH bit (bit 3) of hex nibble j; bit j ≥ 32
+    reads bit 1 of hex nibble j−32 of the SAME digest. Disjoint bits of
+    one md5 are as independent as separate digests (the q24-CMS/bloom
+    window-slicing argument: the digest, not the slice, is the per-row
+    cost), so the 64-bit web-dedup shape (Manku et al., WWW'07) costs the
+    same hashing as the 32-bit one — the earlier salted-second-digest
+    layout doubled the md5 work on the token explode, the single hottest
+    expression in q36's signature stage (x10: 64-bit sig pass measured
+    ~+2 s over 32-bit; this layout closes that gap).
 
-    Bit j of a token = high bit of hex nibble j of its digest; the document
-    bit is the majority vote over tokens; fingerprint = OR of bit_j << j
-    (bitwise, so bit 63 — the long's sign bit — is well-defined with no
-    ANSI overflow concern; for distinct powers OR equals the old Σ form
-    bit-for-bit). One explode + one groupBy(doc_id) with ``bits``
-    conditional sums — a single shuffle, signature width is free (map-side
-    combine; plain long sums stay far inside the codegen-size limits the
-    q39b decimal form hit).
+    Bit j of a token votes; the document bit is the majority; fingerprint
+    = OR of bit_j << j (bitwise, so bit 63 — the long's sign bit — is
+    well-defined with no ANSI overflow concern; for distinct powers OR
+    equals the old Σ form bit-for-bit). One explode + one groupBy(doc_id)
+    with ``bits`` conditional sums — a single shuffle, signature width is
+    free (map-side combine; plain long sums stay far inside the
+    codegen-size limits the q39b decimal form hit).
 
-    Nibble extraction is LONG-CHUNKED: each hex digest converts to
-    ``ceil(bits/8)`` longs once per token row (8 hex chars each) and every
-    vote is a shift/mask — the per-nibble conv(substring(...)) form did 32
-    string ops per row and made the 32-bit pass the dominant q36 stage at
-    the 10× point (hex char p of a chunk occupies bits 4·(7−p)..+3 of its
-    long, so the nibble high bit is bit 4·(7−p)+3; same bit the oracle's
-    strpos(...) ≥ 8 reads)."""
+    Nibble extraction is LONG-CHUNKED: the hex digest converts to 4 longs
+    once per token row (8 hex chars each) and every vote is a shift/mask —
+    the per-nibble conv(substring(...)) form did 32 string ops per row and
+    made the 32-bit pass the dominant q36 stage at the 10× point (hex char
+    p of a chunk occupies bits 4·(7−p)..+3 of its long, so nibble bit q is
+    long bit 4·(7−p)+q; the oracle replays bit 3 as strpos-value ≥ 8 and
+    bit 1 as membership in '2367abef')."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
-    if bits > 32:
-        tok = tok.withColumn("h2", F.md5(F.concat(F.lit("1|"), F.col("tok"))))
-    n_chunks = -(-bits // 8)
+    n_chunks = min(-(-bits // 8), 4)
     chunked = tok.select(
         "doc_id",
         *[
-            F.conv(
-                F.substring(
-                    F.col("h" if k < 4 else "h2"), 8 * (k % 4) + 1, 8
-                ),
-                16,
-                10,
-            )
+            F.conv(F.substring(F.col("h"), 8 * k + 1, 8), 16, 10)
             .cast("long")
             .alias(f"c{k}")
             for k in range(n_chunks)
@@ -561,8 +558,8 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     )
 
     def vote(j: int):
-        k, p = divmod(j, 8)
-        shift = 4 * (7 - p) + 3
+        k, p = divmod(j if j < 32 else j - 32, 8)
+        shift = 4 * (7 - p) + (3 if j < 32 else 1)
         bit = F.shiftright(F.col(f"c{k}"), shift).bitwiseAND(F.lit(1))
         return F.sum(bit * 2 - 1).alias(f"v{j}")
 

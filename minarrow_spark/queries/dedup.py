@@ -217,15 +217,18 @@ def q35_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_votes(src: str, bits: int) -> str:
-    # Nibble j reads digest char j+1: bits 0-31 from md5(token), bits 32-63
-    # from the SECOND, salted md5('1|' || token) — the operator's exact
-    # two-digest layout (operators/dedup.simhash).
-    def nib(j: int) -> str:
-        return f"substr(h, {j + 1}, 1)" if j < 32 else f"substr(h2, {j - 31}, 1)"
+    # ONE md5 per token (the operator's exact layout,
+    # operators/dedup.simhash): bit j < 32 = HIGH bit (bit 3) of hex
+    # nibble j (nibble value ≥ 8); bit j ≥ 32 = bit 1 of hex nibble j−32
+    # (nibble in {2,3,6,7,a,b,e,f}). Disjoint bits of one digest are
+    # independent — same argument as the bloom/CMS window slicing.
+    def bit_test(j: int) -> str:
+        if j < 32:
+            return f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 >= 8"
+        return f"strpos('2367abef', substr(h, {j - 31}, 1)) >= 1"
 
     votes = ",\n           ".join(
-        f"SUM(CASE WHEN strpos('0123456789abcdef', {nib(j)}) - 1 >= 8 "
-        f"THEN 1 ELSE -1 END) AS v{j}"
+        f"SUM(CASE WHEN {bit_test(j)} THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
     )
 
@@ -239,10 +242,9 @@ def _simhash_votes(src: str, bits: int) -> str:
         return f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
 
     fp = " + ".join(term(j) for j in range(bits))
-    h2 = ",\n             md5('1|' || t) AS h2" if bits > 32 else ""
     return f"""
     tok{bits} AS (
-      SELECT doc_id, md5(t) AS h{h2}
+      SELECT doc_id, md5(t) AS h
       FROM (
         SELECT doc_id,
                unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+')) AS t
@@ -374,7 +376,7 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     * tier 'hash' — 16-bit SimHash fingerprint per raw document
       (term-frequency-weighted bit majority vote over token md5 nibbles).
     * tier 'hash64' — the 64-bit web-dedup signature (Manku et al.,
-      WWW'07 shape: bits 32-63 vote on a SECOND salted digest; bit 63
+      WWW'07 shape: bits 32-63 vote on bit 1 of the same nibbles; bit 63
       lands on the long's sign bit) per raw document, hash-checked against
       a 64-column DuckDB vote replay — the `simhash_dedup(width=64|'auto')
       ` signature path's hard correctness signal (r6 verdict task 3).
@@ -440,8 +442,10 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned chunk/nibble/vote equivalence), and both raw-doc hash tiers
     # ('hash' = low-16, 'hash64' = full) attach rep signatures through the
     # members table instead of running a second token-explode pass over
-    # raw documents. The extra cost over the old 32-bit pass is the salted
-    # second digest + 32 more vote sums on REP rows only.
+    # raw documents. The extra cost over the old 32-bit pass is just 32
+    # more vote sums on REP rows — bits 32-63 slice the SAME per-token
+    # md5 (nibble bit 1), so the hot token-explode hashes once per token
+    # (the salted-second-digest layout doubled it: ~+2 s at 10×).
     # Deliberately NOT checkpointed although both band sides of
     # simhash_hamming_pairs reference sig: the hash pipeline is cheap at
     # the 10× point (runtime exchange reuse shares the heavy explode
@@ -458,8 +462,8 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Raw-doc hash tiers: every raw doc's signature is its rep's signature
     # (identical text). A rep can be a variant id when a raw doc's text
     # equals a variant's — the attached VALUE is still exact for the same
-    # reason. 'hash64' driver-checks the 64-bit path (salted second digest,
-    # sign-bit 63) against a 64-column DuckDB vote replay — the one
+    # reason. 'hash64' driver-checks the 64-bit path (nibble-bit-1 high
+    # half, sign-bit 63) against a 64-column DuckDB vote replay — the one
     # operator surface r6 left pytest-only.
     hash_tiers = (
         members.join(d.select("doc_id"), "doc_id", "left_semi")

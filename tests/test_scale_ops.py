@@ -710,8 +710,8 @@ def test_simhash_width_auto_rule():
 
 def test_simhash_64bit_extends_32bit(spark, sf_dir):
     """Bits 0..31 of the 64-bit signature equal the 32-bit signature
-    bit-for-bit (both vote from the SAME unsalted md5 nibbles; bits 32+
-    read the salted second digest) — so widening never silently changes
+    bit-for-bit (both vote from the high bit of the SAME md5 nibbles;
+    bits 32+ read nibble bit 1) — so widening never silently changes
     the low-band keys, and 64-bit values actually exercise the high
     longs (incl. the sign bit, OR-accumulated)."""
     from pyspark.sql import functions as F
