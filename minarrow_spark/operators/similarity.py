@@ -346,6 +346,52 @@ def pq_codes(
     )
 
 
+def pq_adc_lut(
+    centroids: DataFrame,
+    probes: DataFrame,
+    q_col: str = "q_id",
+    vec_col: str = "q_vec",
+    sub_dim: int = 8,
+    scale: int = 10,
+) -> dict:
+    """ADC lookup table as MODEL STATE: for each (probe, subspace, cell) the
+    exact partial score Σ_ds CAST(qx·c AS DECIMAL(18,scale)) — the inner
+    regrouping of the flat per-(probe, vector) ADC sum over all (s, ds),
+    exact because decimal addition is associative. Entries are returned as
+    scaled longs (value·10^scale, integral by construction: every addend
+    carries exactly ``scale`` fractional digits), so a vector's full score
+    Σ_s lut[(q, s, cell_s)] is pure long codegen whose ORDER — the only
+    thing ADC feeds (top-k ranking) — is identical to the decimal order.
+
+    m·2^cell_bits·|probes| entries (160 at the q38b defaults); collecting
+    it is the k-means precedent — model state, not row data. This deletes
+    the dim-level ADC join+agg from the scoring plan entirely: the scan
+    computes m cell keys per vector and applies the LUT as element_at
+    lookups, so at 100 TB the coarse ADC pass reads the m-byte code column
+    and touches no second table, no shuffle, no aggregation state."""
+    qdims = (
+        probes.select(
+            F.col(q_col),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "qx"),
+        )
+        .select(
+            q_col,
+            (F.col("d") / sub_dim).cast("int").alias("s"),
+            (F.col("d") % sub_dim).alias("ds"),
+            "qx",
+        )
+    )
+    rows = (
+        qdims.join(centroids, ["s", "ds"])
+        .groupBy(q_col, "s", "cell")
+        .agg(
+            F.sum((F.col("qx") * F.col("c")).cast(f"decimal(18,{scale})")).alias("p")
+        )
+        .collect()
+    )
+    return {(r[q_col], r["s"], r["cell"]): int(r["p"].scaleb(scale)) for r in rows}
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -16,6 +16,8 @@ are stable cross-engine (see operators/similarity.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -211,13 +213,16 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       subspaces of 8 dims; each subspace keyed to one of 4 cells by
       deterministic sign bits (`pq_cell_keys`); codebook = per-(subspace,
       cell) elementwise centroid (`pq_centroids`, ≤256 rows — broadcast);
-      ADC score = sum over subspaces of dot(q_sub, centroid[code]) as a
-      long/narrow dim-level join with per-product decimal casts (exact,
-      order-free — the q39b contract), so even the approximate scores
-      hash-match the oracle; top-10 by ADC re-ranked with exact cosine.
-      At 100 TB the coarse scan reads m = 8 small ints per vector (the
-      codes) instead of 64 floats — a 32× scan shrink — and scoring
-      touches only the broadcast codebook, never other vectors.
+      ADC score = sum over subspaces of dot(q_sub, centroid[code]),
+      evaluated via a collected 160-entry (probe, subspace, cell) LUT of
+      exact decimal partials carried as scaled longs (`pq_adc_lut` — an
+      associativity-only regrouping of the per-dim decimal sum, so even
+      the approximate scores hash-match the oracle); top-10 by ADC
+      re-ranked with exact cosine. At 100 TB the coarse scan reads m = 8
+      small ints per vector (the codes) instead of 64 floats — a 32× scan
+      shrink — and scoring is in-scan codegen lookups: no second table,
+      no shuffle, no aggregation state (the dim-level join+agg twin is
+      kept under MINARROW_PQ_ADC=join; measured in SCALE.md).
 
     All tiers: probes broadcast; candidate sets are k×probes rows and
     broadcast into the exact re-rank attach; the vector table never
@@ -275,26 +280,85 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tier", F.lit("int8"))
     )
 
-    from minarrow_spark.operators.similarity import pq_centroids, pq_codes
+    from minarrow_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_cell_keys,
+        pq_centroids,
+        pq_codes,
+    )
 
     cent = pq_centroids(e, vec_col="emb")  # (s, cell, ds, c) — ≤256 rows
-    codes = pq_codes(e, id_col="vec_id", vec_col="emb")  # (vec_id, s, cell)
-    qdims = (
-        probes.select("q_id", F.posexplode("q_vec").alias("d", "qx"))
-        .select(
-            "q_id",
-            (F.col("d") / 8).cast("int").alias("s"),
-            (F.col("d") % 8).alias("ds"),
-            "qx",
+    if os.environ.get("MINARROW_PQ_ADC") == "join":
+        # Legacy dim-level ADC: codes ⋈ codebook ⋈ probe dims → hash agg.
+        # 320 rows per vector into the aggregate at m=8, ds=8, 5 probes —
+        # kept only as the measured A/B twin (SCALE.md q38b row).
+        codes = pq_codes(e, id_col="vec_id", vec_col="emb")  # (vec_id, s, cell)
+        qdims = (
+            probes.select("q_id", F.posexplode("q_vec").alias("d", "qx"))
+            .select(
+                "q_id",
+                (F.col("d") / 8).cast("int").alias("s"),
+                (F.col("d") % 8).alias("ds"),
+                "qx",
+            )
         )
-    )
-    adc = (
-        codes.join(F.broadcast(cent), ["s", "cell"])
-        .join(F.broadcast(qdims), ["s", "ds"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum((F.col("qx") * F.col("c")).cast("decimal(18,10)")).alias("adc"))
-    )
+        adc = (
+            codes.join(F.broadcast(cent), ["s", "cell"])
+            .join(F.broadcast(qdims), ["s", "ds"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .groupBy("q_id", "vec_id")
+            .agg(
+                F.sum((F.col("qx") * F.col("c")).cast("decimal(18,10)")).alias("adc")
+            )
+        )
+    else:
+        # ADC via a collected 160-entry LUT (model state — the k-means
+        # precedent): score = Σ_s lut[(q, s, cell_s)] as scaled longs, an
+        # exact regrouping of the legacy decimal sum (pq_adc_lut docstring),
+        # applied as pure codegen element_at lookups. The per-(q, vec)
+        # values and therefore the top-k ORDER are identical; the 320-rows/
+        # vector join+agg is deleted from the plan.
+        lut = pq_adc_lut(cent, probes)
+        qids = sorted({k[0] for k in lut})
+        score_arrays = {
+            (q, s): F.array(
+                *[F.lit(lut.get((q, s, c), 0)).cast("long") for c in range(4)]
+            )
+            for q in qids
+            for s in range(8)
+        }
+
+        def _adc_score(q):
+            terms = [
+                F.element_at(
+                    score_arrays[(q, s)], F.element_at(F.col("_pqc"), s + 1) + 1
+                )
+                for s in range(8)
+            ]
+            total = terms[0]
+            for t in terms[1:]:
+                total = total + t
+            return total
+
+        adc = (
+            e.select("vec_id", pq_cell_keys(F.col("emb")).alias("_pqc"))
+            .select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(q).cast("bigint").alias("q_id"),
+                                _adc_score(q).alias("adc"),
+                            )
+                            for q in qids
+                        ]
+                    )
+                ).alias("_qa"),
+            )
+            .select(F.col("_qa.q_id").alias("q_id"), "vec_id", F.col("_qa.adc").alias("adc"))
+            .filter(F.col("vec_id") != F.col("q_id"))
+        )
     pw = W.partitionBy("q_id").orderBy(F.col("adc").desc(), "vec_id")
     pqcand = (
         adc.withColumn("r", F.row_number().over(pw))
