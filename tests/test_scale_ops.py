@@ -810,3 +810,58 @@ def test_q32_collapse_cloned_corpus_oracle(spark, sf_dir, tmp_path):
     q = all_queries()["q32_quality_score"]
     ok, msg = compare(q.fn(spark, clone_dir), duckdb_conn(clone_dir), q.oracle)
     assert ok, msg
+
+
+def test_pq_adc_lut_equals_join_form(spark, sf_dir):
+    """q38b's LUT-form ADC is an associativity-only regrouping of the
+    dim-level decimal sum: assert the scaled-long LUT score equals the
+    legacy join+agg decimal ADC x 10^10 for EVERY (probe, vector) pair —
+    the strong form of the claim the top-k oracle check samples."""
+    from minarrow_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_cell_keys,
+        pq_centroids,
+        pq_codes,
+    )
+    from minarrow_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_vec")
+    )
+    cent = pq_centroids(e, vec_col="emb")
+
+    codes = pq_codes(e, id_col="vec_id", vec_col="emb")
+    qdims = probes.select(
+        "q_id", F.posexplode("q_vec").alias("d", "qx")
+    ).select(
+        "q_id",
+        (F.col("d") / 8).cast("int").alias("s"),
+        (F.col("d") % 8).alias("ds"),
+        "qx",
+    )
+    join_adc = {
+        (r["q_id"], r["vec_id"]): int(r["adc"].scaleb(10))
+        for r in (
+            codes.join(F.broadcast(cent), ["s", "cell"])
+            .join(F.broadcast(qdims), ["s", "ds"])
+            .groupBy("q_id", "vec_id")
+            .agg(
+                F.sum((F.col("qx") * F.col("c")).cast("decimal(18,10)")).alias("adc")
+            )
+            .collect()
+        )
+    }
+
+    lut = pq_adc_lut(cent, probes)
+    qids = sorted({k[0] for k in lut})
+    cells = {
+        r["vec_id"]: r["_pqc"]
+        for r in e.select("vec_id", pq_cell_keys(F.col("emb")).alias("_pqc")).collect()
+    }
+    assert len(lut) == len(qids) * 8 * len({k[2] for k in lut})
+    for (q, vid), want in join_adc.items():
+        got = sum(lut[(q, s, cells[vid][s])] for s in range(8))
+        assert got == want, (q, vid, got, want)
