@@ -73,6 +73,9 @@ def main() -> None:
         "metric": "x100_scale_check",
         "sf": 10.0,
         "build_s": build_s,
+        # Fixed-work session-noise anchor (r7 verdict task 1): lets a future
+        # reader classify cross-session drift without re-measuring.
+        "calibration_s": bench.calibration(spark),
         "queries": times,
         "value": round(sum(times.values()), 2),
         "unit": "sec",
