@@ -146,6 +146,30 @@ def shingles(text: Column, k: int = 3) -> Column:
     return let_(tokens(text), body)
 
 
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as 64-bit keys — xxhash64 over the k window
+    tokens directly, so the gram STRING is never built (no per-gram
+    concat allocation; every downstream join/group key is 8 bytes).
+    Windows are identical to `shingles`; token join-with-space is
+    injective (tokens are WS-split), so key equality matches string
+    equality under the md5/xxhash collapse-key soundness class already
+    adopted for q32's int-folded gram keys. Use for probe/df pipelines
+    that never need the gram text (q41); keep `shingles` where the gram
+    string is part of the contract."""
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+        gram = lambda i: F.xxhash64(
+            *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        )
+        return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+            F.transform(idx, gram)
+        )
+
+    return let_(tokens(text), body)
+
+
 def normalize_text(text: Column, lowercase: bool = False) -> Column:
     """Cleaning-tier text normalization, pure Catalyst (codegen, zero
     Python): strip C0/C1 control characters (except \\t \\n \\r), drop

@@ -8,6 +8,8 @@ in the hot path, embarrassingly parallel at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -989,7 +991,7 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is GC-scope checkpointed once so the heavy train-side shingle pass is
     not re-evaluated per consumer. Per-doc distinct grams stay in per-row
     arrays until the explode (same zero-shuffle trick as q35)."""
-    from minarrow_spark.functions.text import shingles
+    from minarrow_spark.functions.text import shingle_hashes
 
     d = par(T(spark, sf_dir, "documents"))
     base = d.select("doc_id", F.lower(F.trim("text")).alias("text"))
@@ -1021,8 +1023,20 @@ def q41_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No broadcast hint on the rep filter: rep count == distinct-text count,
     # which is corpus-sized on clone-free data — AQE broadcasts when small.
     train_reps = train.join(rep_ids, "doc_id", "left_semi")
+    # Grams as xxhash64 keys, never strings (shingle_hashes): every gram
+    # use below is equality/grouping — the broadcast probe, the df
+    # groupBy, the weight attach — so the 8-byte key replaces a ~60-byte
+    # string AND deletes the per-gram concat_ws allocation in the heavy
+    # rep-side shingle pass. Oracle recomputes with strings independently;
+    # counts/severity agree under the collapse-key soundness class. The
+    # string form stays runnable as the measured A/B twin
+    # (MINARROW_Q41_GRAMS=str; SCALE.md q41 row).
+    if os.environ.get("MINARROW_Q41_GRAMS") == "str":
+        from minarrow_spark.functions.text import shingles as _grams
+    else:
+        _grams = shingle_hashes
     garr = lambda df: df.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 8)).alias("garr")
+        "doc_id", F.array_distinct(_grams(F.col("text"), 8)).alias("garr")
     )
     bg = garr(bench).select(F.explode("garr").alias("gram")).distinct()
     # n_grams rides every exploded gram row (one long of payload): the
