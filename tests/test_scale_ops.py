@@ -865,3 +865,26 @@ def test_pq_adc_lut_equals_join_form(spark, sf_dir):
     for (q, vid), want in join_adc.items():
         got = sum(lut[(q, s, cells[vid][s])] for s in range(8))
         assert got == want, (q, vid, got, want)
+
+
+def test_shingle_hashes_mirror_string_shingles(spark, sf_dir):
+    """`shingle_hashes` must produce the same WINDOWS as `shingles` (same
+    count, same per-doc distinct count — i.e. hashing is injective on the
+    real corpus) so q41's hashed-gram pipeline counts exactly what the
+    string-gram oracle counts."""
+    from minarrow_spark.functions.text import shingle_hashes, shingles
+    from minarrow_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.lower(F.trim("text")).alias("text")
+    )
+    both = d.select(
+        F.size(shingles(F.col("text"), 8)).alias("ns"),
+        F.size(shingle_hashes(F.col("text"), 8)).alias("nh"),
+        F.size(F.array_distinct(shingles(F.col("text"), 8))).alias("ds"),
+        F.size(F.array_distinct(shingle_hashes(F.col("text"), 8))).alias("dh"),
+    )
+    bad = both.filter(
+        (F.col("ns") != F.col("nh")) | (F.col("ds") != F.col("dh"))
+    ).count()
+    assert bad == 0
