@@ -888,3 +888,46 @@ def test_shingle_hashes_mirror_string_shingles(spark, sf_dir):
         (F.col("ns") != F.col("nh")) | (F.col("ds") != F.col("dh"))
     ).count()
     assert bad == 0
+
+
+def test_q41_collapse_cloned_corpus_oracle(spark, sf_dir, tmp_path):
+    """q41's exact-content collapse + hashed grams vs the DuckDB oracle on
+    a CLONED corpus (the CLAUDE.md rule applied to the decontamination
+    family). Mixed multiplicities (doc_id%3 -> 1/2/3 copies) exercise the
+    multiplicity-sensitive paths: gram doc-frequency df = sum of
+    group-size over reps (clones count as documents, shifting every idf
+    weight), the train-size N in the idf numerator, and the member
+    expansion that must emit one contaminated row per CLONE."""
+    import os
+
+    import duckdb
+
+    from minarrow_spark.registry import all_queries
+    from minarrow_spark.sources.catalog import TABLES, table_path
+    from tests.oracle_utils import compare, duckdb_conn
+
+    clone_dir = str(tmp_path / "q41_clones")
+    os.makedirs(clone_dir)
+    src_docs = table_path(sf_dir, "documents")
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src_docs}')
+          UNION ALL
+          SELECT doc_id + 10000000, text, lang, 'clone_a' AS source, n_chars
+          FROM read_parquet('{src_docs}') WHERE doc_id % 3 IN (1, 2)
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, 'clone_b' AS source, n_chars
+          FROM read_parquet('{src_docs}') WHERE doc_id % 3 = 2
+        ) TO '{clone_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(sf_dir, t), table_path(clone_dir, t))
+
+    q = all_queries()["q41_decontaminate"]
+    ok, msg = compare(q.fn(spark, clone_dir), duckdb_conn(clone_dir), q.oracle)
+    assert ok, msg
