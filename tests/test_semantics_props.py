@@ -262,3 +262,42 @@ def test_q34_normalization_collapses_vertical_tab(spark):
         params=[dirty],
     ).fetchone()
     assert fp_spark == fp_duck
+
+
+def test_shingle_hashes_parity_on_hostile_text(spark):
+    """shingle_hashes (q41's hashed grams) must mirror string shingles'
+    WINDOWS on hostile inputs — adversarial whitespace, sub-k texts,
+    all-identical tokens — and must distinguish token-boundary ambiguity
+    ('ab c' vs 'a bc'), which the space-join form distinguishes too
+    (multi-arg xxhash64 hashes each token separately, so the boundary is
+    part of the key)."""
+    from minarrow_spark.functions.text import shingle_hashes, shingles
+
+    docs = _HOSTILE_WS_DOCS + [
+        (8, ""),
+        (9, "single"),
+        (10, "a a a a a a a a a a"),          # windows identical -> 1 distinct
+        (11, "exactly two"),                  # n == k at k=2
+        (12, "ab c ab c ab c"),
+        (13, "a bc a bc a bc"),               # pairwise-ambiguous with 12
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (2, 8):
+        rows = df.select(
+            "doc_id",
+            F.size(shingles(F.col("text"), k)).alias("ns"),
+            F.size(shingle_hashes(F.col("text"), k)).alias("nh"),
+            F.size(F.array_distinct(shingles(F.col("text"), k))).alias("ds"),
+            F.size(F.array_distinct(shingle_hashes(F.col("text"), k))).alias("dh"),
+        ).collect()
+        for r in rows:
+            assert r.ns == r.nh, (k, r.doc_id, r.ns, r.nh)
+            assert r.ds == r.dh, (k, r.doc_id, r.ds, r.dh)
+    # boundary ambiguity: the k=2 hash sets of docs 12 and 13 are disjoint
+    h = {
+        r.doc_id: set(r.g)
+        for r in df.filter(F.col("doc_id").isin(12, 13))
+        .select("doc_id", shingle_hashes(F.col("text"), 2).alias("g"))
+        .collect()
+    }
+    assert not (h[12] & h[13])
