@@ -358,8 +358,13 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row — at true 100 TB row counts salt to (flag, salt) long partials
     # first, the q01 pattern, before the long ceiling ~3e11 rows/group).
     # s1c/100.0 and s2u/10000.0 are single correctly-rounded IEEE divides,
-    # equal to the old decimal→double casts bit-for-bit, so avg/var keep
-    # the oracle's exact op order.
+    # equal to the old decimal→double casts bit-for-bit WHILE the scaled
+    # long sum stays below 2^53 (~9e15; here ≤1.5e15 per group at 100×) —
+    # past that, long→double rounds once before the divide, a second
+    # rounding the single decimal→double cast didn't have. A true scale-up
+    # must salt (the ~3e11 rows/group note above) BEFORE that bound, which
+    # restores exactness: salted partials stay under 2^53 each and the
+    # final merge is decimal.
     qc = F.round(F.col("l_quantity") * 100).cast("long")
     qq = F.round(F.col("l_quantity") * F.col("l_quantity") * 10000).cast("long")
     s1 = (F.sum(qc) / F.lit(100.0)).cast("double")
@@ -521,7 +526,12 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         main.join(sketches, "l_returnflag")
         .join(n_parts, "l_returnflag")
         .join(exact_distinct("l_orderkey", "_n_orders"), "l_returnflag")
-        .join(F.broadcast(pcts), "l_returnflag")
+        # LEFT join: pcts is built only from non-null quantities, so a group
+        # whose quantities are ALL null would otherwise vanish from the
+        # output entirely — F.percentile (and the oracle's quantile_cont)
+        # keep the group row with null percentiles, and null _vlo/_vhi/_frac
+        # propagate to a null _pct_val consistently on both sides.
+        .join(F.broadcast(pcts), "l_returnflag", "left")
         .join(F.broadcast(top1), "l_returnflag")
         .join(F.broadcast(est), ["l_returnflag", "top_part"])
     )

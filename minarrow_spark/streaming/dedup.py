@@ -135,13 +135,30 @@ def _resolve_width(
     batch and PERSISTS the choice in ``state_dir/_WIDTH.json``: band keys
     from different widths never collide coherently, so one state directory
     must speak exactly one width — later batches and checkpoint restarts
-    read the pinned choice instead of re-deciding."""
-    if width != "auto":
-        return int(width)
+    read the pinned choice instead of re-deciding. The pin is written AND
+    enforced for explicit widths too: reopening an existing lineage with a
+    different concrete width would silently mix incoherent band keys
+    across batches (missed duplicates), so it raises instead."""
     path = os.path.join(state_dir, "_WIDTH.json")
+    pinned = None
     if os.path.exists(path):
         with open(path) as fh:
-            return int(json.load(fh)["width"])
+            pinned = int(json.load(fh)["width"])
+    if width != "auto":
+        bits = int(width)
+        if pinned is not None and pinned != bits:
+            raise ValueError(
+                f"state lineage {state_dir!r} is pinned to width {pinned}; "
+                f"reopening it with width={bits} would mix incoherent band "
+                f"keys across batches (one state dir speaks one width)"
+            )
+        if pinned is None:
+            os.makedirs(state_dir, exist_ok=True)
+            with open(path, "w") as fh:
+                json.dump({"width": bits, "source": "explicit"}, fh)
+        return bits
+    if pinned is not None:
+        return pinned
     from minarrow_spark.functions.text import token_count
 
     stats = batch.agg(

@@ -667,3 +667,19 @@ def test_streaming_dedup_simhash_widths(spark, tmp_path):
     wb(docs.filter(((F.col("doc_id") - lo) / width_ids).cast("int") == 1), 1)
     with open(os.path.join(state, "_WIDTH.json")) as fh:
         assert json.load(fh) == pinned  # unchanged by batch 2
+
+    # Explicit widths pin too (r7 ADVICE): reopening a lineage with a
+    # DIFFERENT concrete width must raise, not silently mix band keys.
+    other = 64 if pinned["width"] == 32 else 32
+    with pytest.raises(ValueError, match="pinned to width"):
+        dedup_writer(state, out, method="simhash", width=other)(
+            docs.filter(((F.col("doc_id") - lo) / width_ids).cast("int") == 2), 2
+        )
+    # Same width as the pin is fine, and an explicit width on a FRESH
+    # lineage writes its own pin.
+    state2 = str(tmp_path / "state_explicit")
+    dedup_writer(state2, str(tmp_path / "out_explicit"), method="simhash", width=32)(
+        docs.filter(((F.col("doc_id") - lo) / width_ids).cast("int") == 0), 0
+    )
+    with open(os.path.join(state2, "_WIDTH.json")) as fh:
+        assert json.load(fh)["width"] == 32
