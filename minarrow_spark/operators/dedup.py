@@ -547,31 +547,35 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     n_chunks = min(-(-bits // 8), 4)
-    chunked = tok.select(
+    # Expressions are built as SQL STRINGS, one py4j call per column (r8
+    # floor cut, measured at sf0.001): composing the 64 vote sums and the
+    # 64-term fingerprint fold from Column operators made ~900 py4j
+    # round-trips — ~1.3 s of PYTHON-side DataFrame construction per run,
+    # the single largest piece of q36's fixed per-run floor (Spark-side
+    # analysis+optimization of the same plan is ~0.15 s). The JVM parses
+    # each string once; the resulting plan, types, and values are
+    # identical to the old operator-composed form.
+    chunked = tok.selectExpr(
         "doc_id",
         *[
-            F.conv(F.substring(F.col("h"), 8 * k + 1, 8), 16, 10)
-            .cast("long")
-            .alias(f"c{k}")
+            f"CAST(conv(substring(h, {8 * k + 1}, 8), 16, 10) AS BIGINT) AS c{k}"
             for k in range(n_chunks)
         ],
     )
 
-    def vote(j: int):
+    def vote_sql(j: int) -> str:
         k, p = divmod(j if j < 32 else j - 32, 8)
         shift = 4 * (7 - p) + (3 if j < 32 else 1)
-        bit = F.shiftright(F.col(f"c{k}"), shift).bitwiseAND(F.lit(1))
-        return F.sum(bit * 2 - 1).alias(f"v{j}")
+        return f"sum((shiftright(c{k}, {shift}) & 1) * 2 - 1) AS v{j}"
 
-    voted = chunked.groupBy("doc_id").agg(*[vote(j) for j in range(bits)])
-    fp = None
-    for j in range(bits):
-        bit = F.when(
-            F.col(f"v{j}") > 0,
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return voted.select("doc_id", fp.cast("bigint").alias("simhash"))
+    voted = chunked.groupBy("doc_id").agg(
+        *[F.expr(vote_sql(j)) for j in range(bits)]
+    )
+    fp_sql = " | ".join(
+        f"IF(v{j} > 0, shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))"
+        for j in range(bits)
+    )
+    return voted.selectExpr("doc_id", f"CAST(({fp_sql}) AS BIGINT) AS simhash")
 
 
 def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:

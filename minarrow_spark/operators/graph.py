@@ -134,37 +134,47 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     n = labels.count()  # materializes labels (and e) + sizes the join shape
-    for _ in range(max_iter):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
         # min over {own label} ∪ {neighbor labels}: neighbor messages are
         # edge ⋈ label on the sender, grouped on the receiver. Both aggs
-        # are map-side combined; the new label table is a LAZY checkpoint
-        # whose first (and only concurrent) toucher is the changed-count
-        # below — round = exactly one Spark job.
-        msgs = (
-            e.join(
-                _maybe_broadcast(labels.withColumnRenamed("id", "u"), n), "u"
-            )
+        # are map-side combined.
+        return (
+            e.join(_maybe_broadcast(lbl.withColumnRenamed("id", "u"), n), "u")
             .select(F.col("v").alias("id"), "component")
-            .unionByName(labels)
+            .unionByName(lbl)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
         )
+
+    # DOUBLE-STEP rounds (r7 verdict: ~60% of q36's 100× cost was fixed
+    # job-boundary/loop cost): each BLOCKING round runs TWO propagation
+    # steps and counts the diff between them — one Spark job per two
+    # steps, so a k-step fixpoint costs ceil(k/2) blocking actions
+    # instead of k. Convergence stays sound by lattice monotonicity:
+    # labels only decrease (own label is in every min), so p2 == p1
+    # pointwise forces propagate(p1) == p1, i.e. p1 IS the fixpoint.
+    # Both lazy checkpoints are first-touched inside the single changed-
+    # count job (p1 is persisted on first compute, so its two consumers
+    # — p2's join and the diff join — share one evaluation).
+    for _ in range((max_iter + 1) // 2):
+        p1 = _propagate(labels).localCheckpoint(eager=False)
+        p2 = _propagate(p1).localCheckpoint(eager=False)
         changed = (
-            msgs.join(
+            p2.join(
                 _maybe_broadcast(
-                    labels.withColumnRenamed("component", "old"), n
+                    p1.withColumnRenamed("component", "old"), n
                 ),
                 "id",
             )
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels = msgs
+        labels = p2
         if changed == 0:
             return labels
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
+        f"connected_components did not converge in {max_iter} steps "
         "(graph diameter exceeds max_iter)"
     )
 

@@ -423,14 +423,31 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minarrow_spark.operators.graph import dedup_clusters, pagerank_lumped
 
     corpus = augment_with_near_dups(d)
+    # ONE window pass produces both the rep mapping AND the group size
+    # (r8): count(*) over the same fp partition rides the min's sort, so
+    # the separate 5.5M-row gsz groupBy that used to run inside the
+    # pagerank job is replaced by a cheap filter on this checkpoint. The
+    # checkpoint is LAZY, folded into the redges job below through
+    # rep_ids' broadcast (the q35/q41 fold-into-first-toucher rule: the
+    # redges eager checkpoint is the provably sequential first toucher;
+    # every other consumer runs after it) — one job boundary deleted from
+    # the fixed floor. A groupBy(fp)+broadcast-back join was measured and
+    # REFUSED at the 100× point (2.2→2.9 s): it re-runs the corpus
+    # augment + md5 pass twice (build + probe), which costs more than the
+    # window's one full-row shuffle saves.
+    fpw = W.partitionBy("fp")
     members = (
         corpus.select("doc_id", F.md5("text").alias("fp"))
-        .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
-        .select("doc_id", "rep")
-        .localCheckpoint(eager=True)  # slim; feeds edges filter + both tiers
+        .select(
+            "doc_id",
+            F.min("doc_id").over(fpw).alias("rep"),
+            F.count(F.lit(1)).over(fpw).alias("gc"),
+        )
+        .localCheckpoint(eager=False)
     )
-    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    gsz = members.groupBy("rep").agg(F.count(F.lit(1)).alias("gc"))
+    rep_rows = members.filter(F.col("doc_id") == F.col("rep"))
+    rep_ids = rep_rows.select("doc_id")
+    gsz = rep_rows.select("rep", "gc")
     # Rep-filter BEFORE the signature pass, not after: identical text ⇒
     # identical simhash, so hashing clone members is pure redundancy — at
     # the 10× replica point this is ~10× less token hashing (the join
@@ -508,6 +525,15 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     _serial = _os.environ.get("MINARROW_Q36_SERIAL") == "1"
+    # Measured refusal (r8): scoping AQE OFF around this loop section —
+    # under AQE a lazy localCheckpoint materializes its upstream stages at
+    # CALL time, so the BSP loops pay ~7 jobs/iteration of scheduling —
+    # won ~0.4 s at sf0.001 (5.36→4.89 best-of-5) but LOST ~1.0 s at the
+    # 100× replica point (9.96→10.96): the rep graph there is big enough
+    # that AQE's coalescing/planning pays for its job boundaries. Kept ON;
+    # the floor cuts that survive both scales are the double-step CC
+    # rounds, the lazy members fold, and simhash's SQL-string expression
+    # build (~900 py4j round-trips deleted).
     if _serial:
         pr = pagerank_lumped(
             redges, gsz, src="da", dst="db", id_col="rep", size_col="gc",

@@ -3,8 +3,17 @@ per-replica key shifts (same generator bench.py's 10× tier uses) and run a
 spanning query subset — the measured answer to "would this plan survive a
 100× scale-up?". Results are recorded in SCALE.md.
 
-Usage: python scripts/scale100.py [q...]   (default: the subset below)
-Writes replicas to .scratch/bench_x100 (~1.6 GB) and prints one JSON line.
+Usage: python scripts/scale100.py [--isolated] [q...]   (default: the
+subset below). Writes replicas to .scratch/bench_x100 (~1.6 GB) and prints
+one JSON line.
+
+Measurement hygiene (r7 verdict task 4 — sweeps must be honest BY
+CONSTRUCTION, not via post-hoc footnotes): every timed run is preceded by
+`bench.gc_sweep`, so dead checkpoint blocks from EARLIER queries in the
+sweep are collected outside the timed window — in-sweep numbers previously
+ran up to ~2× hot vs isolated best-of-5 without this (q35 17.0 in-sweep vs
+8.67 isolated in the r7 closing snapshot). `--isolated` raises reps to
+best-of-5 (the per-query adjudication protocol) for closing snapshots.
 """
 
 from __future__ import annotations
@@ -43,7 +52,10 @@ DEFAULT = (
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(DEFAULT)
+    argv = sys.argv[1:]
+    isolated = "--isolated" in argv
+    names = [a for a in argv if not a.startswith("--")] or list(DEFAULT)
+    reps = 5 if isolated else 2
     spark = get_spark("minarrow_spark_x100")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -58,7 +70,8 @@ def main() -> None:
         try:
             bench.materialize(qs[name].fn(spark, X100_DIR))  # warm: codegen + JIT
             best = None
-            for _ in range(2):
+            for _ in range(reps):
+                bench.gc_sweep(spark)  # dead-block cleanup OUT of the window
                 t0 = time.perf_counter()
                 bench.materialize(qs[name].fn(spark, X100_DIR))
                 dt = round(time.perf_counter() - t0, 2)
@@ -76,6 +89,7 @@ def main() -> None:
         # Fixed-work session-noise anchor (r7 verdict task 1): lets a future
         # reader classify cross-session drift without re-measuring.
         "calibration_s": bench.calibration(spark),
+        "reps": reps,
         "queries": times,
         "value": round(sum(times.values()), 2),
         "unit": "sec",
