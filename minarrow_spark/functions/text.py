@@ -170,6 +170,45 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     return let_(tokens(text), body)
 
 
+def char_grams(text: Column, n: int = 4) -> Column:
+    """Character n-gram array over pre-normalized text (q37's jaccard
+    grams; the caller whitespace-collapses/lowercases first). Texts
+    shorter than n yield an empty array."""
+    return let_(
+        text,
+        lambda t: F.when(
+            F.length(t) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substring(t, i, F.lit(n)),
+            )
+        ),
+    )
+
+
+def char_gram_hashes(text: Column, n: int = 4) -> Column:
+    """Character n-grams as xxhash64 keys — same windows as `char_grams`
+    but the gram string is hashed to 8 bytes in place instead of being
+    materialized into the array (the q41 `shingle_hashes` lesson applied
+    to char grams, r8): every q37 downstream use (array_distinct, size,
+    array_intersect) is equality-only, so key equality stands in for
+    string equality under the established xxhash64 collapse-key soundness
+    class. Use where the gram text never leaves the pipeline; keep
+    `char_grams` where it does."""
+    return let_(
+        text,
+        lambda t: F.when(
+            F.length(t) < n, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.xxhash64(F.substring(t, i, F.lit(n))),
+            )
+        ),
+    )
+
+
 def normalize_text(text: Column, lowercase: bool = False) -> Column:
     """Cleaning-tier text normalization, pure Catalyst (codegen, zero
     Python): strip C0/C1 control characters (except \\t \\n \\r), drop

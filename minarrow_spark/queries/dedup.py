@@ -704,19 +704,23 @@ def q37_ngram_jaccard(
     )
     # let-bind the normalized text so each substr doesn't re-run the regex
     # normalization (projection collapse inlines `t` into the lambda).
-    from minarrow_spark.functions.text import let_
+    # Grams as xxhash64 keys, never strings (r8 — the q41 lesson applied,
+    # verdict task 3): every downstream gram use is equality-only
+    # (array_distinct, size, array_intersect), so the 8-byte key replaces
+    # a 4-char string cell in the materialized rep arrays AND deletes the
+    # per-gram substring allocation from the checkpoint. The oracle keeps
+    # computing STRING grams independently, and jaccard over hashed grams
+    # equals jaccard over string grams under the same xxhash64 collapse-
+    # key soundness class as q41/q32. The string form stays runnable as
+    # the measured A/B twin (MINARROW_Q37_GRAMS=str; SCALE.md q37 row).
+    import os
 
-    gram_arr = let_(
-        F.col("t"),
-        lambda t: F.when(
-            F.length(t) < 4, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 3),
-                lambda i: F.substring(t, i, F.lit(4)),
-            )
-        ),
-    )
+    from minarrow_spark.functions.text import char_gram_hashes, char_grams
+
+    if os.environ.get("MINARROW_Q37_GRAMS") == "str":
+        gram_arr = char_grams(F.col("t"), 4)
+    else:
+        gram_arr = char_gram_hashes(F.col("t"), 4)
     # (source, n_chars//20) blocking: the synthetic near-dup variants carry
     # the base doc's n_chars verbatim, so true dups always share a block at
     # ANY bucket width — narrower buckets only cut cross-doc filler pairs

@@ -634,13 +634,25 @@ def q27_table_broadcast_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
     )
     shifted = table_op(l, 5.0, "+")
+    # Bounded-magnitude sums as longs, not decimals (r8, the q04/q24
+    # pattern — this was the last full-width decimal reduce in the scalar
+    # family, visibly above its peers at 100×): the 2-decimal measures sum
+    # as cents (sums ≤ ~6e14 at 100× < 2^53, so s/100.0 is the same single
+    # rounding as the oracle's decimal→double cast — see q24's bound note),
+    # and the INTEGRAL columns sum as plain longs (their cents sums would
+    # cross 2^53 at the 100× replica shift; the unscaled integer sum is
+    # exact on both sides and rounds once at the final double cast). +5.0
+    # stays exact in both paths: 2-decimal stays 2-decimal, integer stays
+    # integer. At true 100 TB row counts salt to long partials first (the
+    # q01 pattern) before any per-group cents sum nears 2^53.
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")
     return shifted.agg(
-        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
-        F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
-        F.sum(dec("l_tax")).cast("double").alias("sum_tax"),
-        F.sum(dec("l_orderkey")).cast("double").alias("sum_okey"),
-        F.sum(dec("l_linenumber")).cast("double").alias("sum_line"),
+        (F.sum(cents("l_quantity")) / 100.0).cast("double").alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")) / 100.0).cast("double").alias("sum_price"),
+        (F.sum(cents("l_discount")) / 100.0).cast("double").alias("sum_disc"),
+        (F.sum(cents("l_tax")) / 100.0).cast("double").alias("sum_tax"),
+        F.sum(F.col("l_orderkey").cast("long")).cast("double").alias("sum_okey"),
+        F.sum(F.col("l_linenumber").cast("long")).cast("double").alias("sum_line"),
     )
 
 

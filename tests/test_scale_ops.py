@@ -931,3 +931,51 @@ def test_q41_collapse_cloned_corpus_oracle(spark, sf_dir, tmp_path):
     q = all_queries()["q41_decontaminate"]
     ok, msg = compare(q.fn(spark, clone_dir), duckdb_conn(clone_dir), q.oracle)
     assert ok, msg
+
+
+def test_q37_hashed_grams_cloned_corpus_oracle(spark, sf_dir, tmp_path, monkeypatch):
+    """q37's hashed char grams (r8) vs the DuckDB string-gram oracle on a
+    CLONED corpus, plus exact hashed-vs-string mode equality. Clones keep
+    the SAME source and n_chars, so they land in the SAME (text, source,
+    blk) collapse group — the c² pair path the exact-content collapse
+    exists to kill — and the within-group 1.0 expansion must emit every
+    clone pair the oracle's string-gram join emits."""
+    import os
+
+    import duckdb
+
+    from minarrow_spark.registry import all_queries
+    from minarrow_spark.sources.catalog import TABLES, table_path
+    from tests.oracle_utils import compare, duckdb_conn
+
+    clone_dir = str(tmp_path / "q37_clones")
+    os.makedirs(clone_dir)
+    src_docs = table_path(sf_dir, "documents")
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src_docs}')
+          UNION ALL
+          SELECT doc_id + 10000000, text, lang, source, n_chars
+          FROM read_parquet('{src_docs}') WHERE doc_id % 3 IN (1, 2)
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, source, n_chars
+          FROM read_parquet('{src_docs}') WHERE doc_id % 3 = 2
+        ) TO '{clone_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(table_path(sf_dir, t), table_path(clone_dir, t))
+
+    q = all_queries()["q37_ngram_jaccard"]
+    ok, msg = compare(q.fn(spark, clone_dir), duckdb_conn(clone_dir), q.oracle)
+    assert ok, msg
+
+    # hashed mode output == string-twin output, row for row
+    hashed = {tuple(r) for r in q.fn(spark, clone_dir).collect()}
+    monkeypatch.setenv("MINARROW_Q37_GRAMS", "str")
+    stringed = {tuple(r) for r in q.fn(spark, clone_dir).collect()}
+    assert hashed == stringed and hashed

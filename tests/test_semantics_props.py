@@ -301,3 +301,59 @@ def test_shingle_hashes_parity_on_hostile_text(spark):
         .collect()
     }
     assert not (h[12] & h[13])
+
+
+def test_char_gram_hashes_parity_on_hostile_text(spark):
+    """char_gram_hashes (q37's hashed grams, r8) must mirror char_grams'
+    WINDOWS and set structure on hostile inputs: sub-n texts (empty
+    array), exactly-n, repeated characters (distinct collapse), multi-byte
+    unicode (length() counts code points on both paths), and embedded
+    quotes/controls. Parity is checked on sizes, distinct sizes, AND
+    pairwise intersect sizes — the three quantities q37's jaccard
+    consumes — so hashed-mode jaccard equals string-mode jaccard."""
+    from minarrow_spark.functions.text import char_gram_hashes, char_grams
+
+    docs = [
+        (1, ""),
+        (2, "abc"),                       # < n
+        (3, "abcd"),                      # == n -> exactly one gram
+        (4, "aaaaaaaaaa"),                # 7 windows, 1 distinct
+        (5, "the quick brown fox"),
+        (6, "he quick brown fox j"),      # heavy overlap with 5
+        (7, "żółć żółć naïve 汉字汉字汉字"),  # multi-byte code points
+        (8, 'qu"ote\\bs\tand\x01ctrl'),
+        (9, "abcdabcdabcd"),              # periodic -> few distinct
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (2, 4):
+        rows = df.select(
+            "doc_id",
+            F.size(char_grams(F.col("text"), n)).alias("ns"),
+            F.size(char_gram_hashes(F.col("text"), n)).alias("nh"),
+            F.size(F.array_distinct(char_grams(F.col("text"), n))).alias("ds"),
+            F.size(F.array_distinct(char_gram_hashes(F.col("text"), n))).alias("dh"),
+        ).collect()
+        for r in rows:
+            assert r.ns == r.nh, (n, r.doc_id, r.ns, r.nh)
+            assert r.ds == r.dh, (n, r.doc_id, r.ds, r.dh)
+    # pairwise |A∩B| parity on all doc pairs (the jaccard numerator)
+    sarr = df.select(
+        "doc_id", F.array_distinct(char_grams(F.col("text"), 4)).alias("g")
+    )
+    harr = df.select(
+        "doc_id", F.array_distinct(char_gram_hashes(F.col("text"), 4)).alias("g")
+    )
+
+    def inters(arr):
+        a = arr.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
+        b = arr.select(F.col("doc_id").alias("db"), F.col("g").alias("gb"))
+        return {
+            (r.da, r.db): r.ni
+            for r in a.join(b, F.col("da") < F.col("db"))
+            .select(
+                "da", "db", F.size(F.array_intersect("ga", "gb")).alias("ni")
+            )
+            .collect()
+        }
+
+    assert inters(sarr) == inters(harr)
