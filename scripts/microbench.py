@@ -54,22 +54,61 @@ def main() -> None:
     # straggler tail of the embarrassingly-parallel loop; same lever a
     # cluster job uses via shuffle-partition sizing.
     parts = 2 * spark.sparkContext.defaultParallelism
-    t_sum = best_of(lambda: spark.range(0, n, 1, parts).agg(F.sum("id")).collect())
-    t_fsum = best_of(
-        lambda: spark.range(0, n, 1, parts)
-        .agg(F.sum(F.col("id").cast("double")))
-        .collect()
-    )
+    # Like-for-like kernel semantics (r8): the reference's Rust sum is an
+    # UNCHECKED wrapping add (`src/lib.rs:57-92` — no per-add overflow
+    # branch). Spark under ansi.enabled=true compiles a checked add; an
+    # interleaved same-session A/B (6 alternating blocks of best-of-6)
+    # measured the branch at ~9% — 0.1328 checked vs 0.1211 unchecked —
+    # NOT the historical 2×-band gap, which a first (non-interleaved)
+    # probe mis-attributed to ANSI before the order-effect was controlled.
+    # The headline ratio uses the unchecked form (same kernel as the
+    # reference); the ANSI-checked number rides alongside because the
+    # graded queries run under ANSI. The i64 kernel is measured in TWO
+    # full passes per invocation (the r8 protocol: a band claim must
+    # reproduce twice in one session), and a fixed-work calibration
+    # anchor classifies cross-session VM drift.
+    ansi_orig = spark.conf.get("spark.sql.ansi.enabled")
+    i64_passes, ansi_passes = [], []
+    try:
+        for _ in range(2):
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            i64_passes.append(
+                best_of(
+                    lambda: spark.range(0, n, 1, parts).agg(F.sum("id")).collect()
+                )
+            )
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            ansi_passes.append(
+                best_of(
+                    lambda: spark.range(0, n, 1, parts).agg(F.sum("id")).collect()
+                )
+            )
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        t_fsum = best_of(
+            lambda: spark.range(0, n, 1, parts)
+            .agg(F.sum(F.col("id").cast("double")))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_orig)
+    t_sum, t_sum_ansi = min(i64_passes), min(ansi_passes)
     t_pq = best_of(lambda: li.agg(F.sum("l_extendedprice")).collect())
+    import bench
+
     out = {
         "sum_1e9_i64_sec": round(t_sum, 4),
+        "sum_1e9_i64_passes": [round(t, 4) for t in i64_passes],
         "sum_1e9_i64_gelem_per_s": round(n / t_sum / 1e9, 2),
         "reference_sum_1e9_i64_sec": 0.1139,  # BASELINE.md, SIMD+Rayon, 22 CPUs
         "ratio_vs_reference": round(t_sum / 0.1139, 2),
+        "ratio_per_pass": [round(t / 0.1139, 2) for t in i64_passes],
+        "sum_1e9_i64_ansi_checked_sec": round(t_sum_ansi, 4),
+        "ratio_ansi_checked_vs_reference": round(t_sum_ansi / 0.1139, 2),
         "sum_1e9_f64_sec": round(t_fsum, 4),
         "reference_sum_1e9_f64_sec": 0.1141,  # BASELINE.md src/lib.rs:92
         "ratio_f64_vs_reference": round(t_fsum / 0.1141, 2),
         "parquet_sum_lineitem_f64_sec": round(t_pq, 4),
+        "calibration_s": bench.calibration(spark),
         "cpus": spark.sparkContext.defaultParallelism,
     }
     print(json.dumps(out))
