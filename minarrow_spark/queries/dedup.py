@@ -90,19 +90,87 @@ _CORPUS_NEAR = """
       SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp
       FROM normed
-    )
-    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+    ),
+    tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS w
+      FROM corpus
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               AS shingle
+      FROM tok
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    ssig AS (
+      SELECT doc_id,
+             min(substr(md5('0|' || shingle),  1, 4)) AS h0,
+             min(substr(md5('0|' || shingle),  5, 4)) AS h1,
+             min(substr(md5('0|' || shingle),  9, 4)) AS h2,
+             min(substr(md5('0|' || shingle), 13, 4)) AS h3,
+             min(substr(md5('0|' || shingle), 17, 4)) AS h4,
+             min(substr(md5('0|' || shingle), 21, 4)) AS h5,
+             min(substr(md5('0|' || shingle), 25, 4)) AS h6,
+             min(substr(md5('0|' || shingle), 29, 4)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    sband AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_key FROM ssig
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM ssig
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM ssig
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM ssig
+    ),
+    sfirst AS (
+      SELECT band_id, band_key, MIN(doc_id) AS first_id
+      FROM sband GROUP BY 1, 2
+    ),
+    sdup AS (
+      SELECT DISTINCT b.doc_id
+      FROM sband b
+      JOIN sfirst f ON f.band_id = b.band_id AND f.band_key = b.band_key
+       AND b.doc_id > f.first_id
+    ),
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM corpus)
+    SELECT 'exact' AS tier, fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies
     FROM fps GROUP BY fp
+    UNION ALL
+    SELECT 'stream', CAST(c.doc_id AS VARCHAR),
+           CAST(LEAST(2, ((c.doc_id - o.lo) * 3) // (o.hi - o.lo + 1)) AS BIGINT),
+           CAST((s.doc_id IS NOT NULL) AS BIGINT)
+    FROM corpus c
+    CROSS JOIN bounds o
+    LEFT JOIN sdup s ON s.doc_id = c.doc_id
     """,
-    tags=("dedup", "exact", "normalize"),
+    tags=("dedup", "exact", "normalize", "streaming", "ST1", "ST3"),
 )
 def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup through the full normalization stack: Catalyst cleanup
-    (`normalize_text`: control/zero-width strip + whitespace collapse) →
-    Arrow-batched Unicode NFC (`normalize_text_nfc`, mapInArrow — DuckDB's
-    `nfc_normalize` is the oracle twin) → md5 fingerprint hash-groupBy,
-    keep-min-id.
+    """Exact dedup through the full normalization stack, plus the streamed
+    incremental-dedup state algebra — two tiers:
+
+    * tier 'exact' — Catalyst cleanup (`normalize_text`: control/zero-width
+      strip + whitespace collapse) → Arrow-batched Unicode NFC
+      (`normalize_text_nfc`, mapInArrow — DuckDB's `nfc_normalize` is the
+      oracle twin) → md5 fingerprint hash-groupBy, keep-min-id.
+      Columns: (fp, keep_id, n_copies).
+    * tier 'stream' — the incremental minhash-LSH dedup state machine
+      (streaming/dedup.py) exercised end-to-end THROUGH ITS AT-REST FILES
+      (r8 verdict task 6, on the q46 'rollup' precedent): the corpus is
+      split into 3 deterministic id-range batches (boundaries from one
+      min/max agg — id-ordered arrival is the replay contract), batches 0
+      and 1 run through `dedup_writer`'s real probe→verdict→state-append
+      path, the state is folded by `compact_state` (LSM min-of-firsts,
+      written as a batch=0 lineage), and batch 2 probes the COMPACTED
+      state — so both the writer and the compaction algebra are
+      load-bearing in the driver row. The DuckDB twin is the one-shot
+      batch SQL (dup ⇔ a lower-id doc shares a band key) plus the batch
+      assignment replayed from the same min/max bounds — equality proves
+      the streamed/compacted state algebra matches the one-shot batch
+      semantics for this split. Columns (slot-mapped into the shared
+      schema): fp = doc_id as string, keep_id = batch id, n_copies =
+      is_dup as 0/1.
 
     The corpus is augmented with the variants a real crawl produces, so the
     normalization tiers are what the oracle hash actually checks:
@@ -113,10 +181,14 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     * +400000/+500000 — composed 'é' (U+00E9) vs decomposed 'e'+U+0301
       suffix pairs (every 20th doc): byte-different, NFC-identical — they
       merge ONLY if the NFC pass works.
+    The stream tier shingles the RAW corpus (tokens of un-normalized text),
+    so byte-exact copies are its guaranteed duplicate signal while the
+    dirty/NFC variants exercise shingle-space divergence.
 
     Scale shape: normalization is a per-row projection plus one
-    shuffle-free Arrow map stage; dedup itself stays one shuffle on the
-    128-bit fingerprint."""
+    shuffle-free Arrow map stage; exact dedup stays one shuffle on the
+    128-bit fingerprint; the stream tier's state is band-key-sized (no
+    text, no shingles) and each batch's work is O(new data)."""
     from minarrow_spark.functions.text import normalize_text, normalize_text_nfc
 
     d = par(T(spark, sf_dir, "documents")).select("doc_id", "text")
@@ -145,7 +217,40 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = normalize_text_nfc(
         corpus.withColumn("text", normalize_text(F.col("text")))
     )
-    return exact_dedup(normed)
+    exact = exact_dedup(normed).select(
+        F.lit("exact").alias("tier"), "fp", "keep_id", "n_copies"
+    )
+
+    # tier 'stream' — three id-range batches through the real state files.
+    import shutil
+    from pathlib import Path
+
+    from minarrow_spark.streaming.dedup import compact_state, dedup_writer
+    from minarrow_spark.streaming.dedup import verdicts as stream_verdicts
+
+    scratch = Path("/root/repo/.scratch/sdedup") / Path(sf_dir).name
+    shutil.rmtree(scratch, ignore_errors=True)
+    state, comp, out = (
+        str(scratch / "state"),
+        str(scratch / "compacted"),
+        str(scratch / "verdicts"),
+    )
+    lo, hi = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = hi - lo + 1  # two scalars — bounded model state, like CC's n
+    bexpr = F.expr(f"least(2, ((doc_id - {lo}) * 3) div {span})")
+    slice_b = lambda b: corpus.filter(bexpr == b).select("doc_id", "text")
+    writer = dedup_writer(state, out)
+    writer(slice_b(0), 0)  # sequential by necessity: batch N probes < N
+    writer(slice_b(1), 1)
+    compact_state(spark, state, comp)
+    dedup_writer(comp, out)(slice_b(2), 2)  # probes the COMPACTED lineage
+    stream = stream_verdicts(spark, out).select(
+        F.lit("stream").alias("tier"),
+        F.col("doc_id").cast("string").alias("fp"),
+        F.col("batch").cast("bigint").alias("keep_id"),
+        F.col("is_dup").cast("bigint").alias("n_copies"),
+    )
+    return exact.unionByName(stream)
 
 
 @query(

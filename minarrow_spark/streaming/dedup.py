@@ -283,14 +283,24 @@ def compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> DataFram
     """LSM compaction of the band-key state: min-of-firsts per key — the
     same merge algebra the probe's "earlier batch wins" relies on, so a
     compacted state answers probes identically. Writes to ``out_dir``
-    (never in place: a live stream may still be appending)."""
+    (never in place: a live stream may still be appending) under
+    ``batch=0``, so the compacted directory IS a valid state lineage:
+    ``_read_state`` sees all folded history as batch 0, and a resumed
+    stream appends ``batch=N`` (N ≥ 1) beside it (r8 — previously the
+    flat layout made a compacted dir silently unreadable as state: the
+    reader's batch filter raised and fell back to empty)."""
     compacted = (
         spark.read.option("basePath", state_dir)
         .parquet(state_dir)
         .groupBy("band_id", "band_key")
         .agg(F.min("first_id").alias("first_id"))
     )
-    compacted.write.mode("overwrite").parquet(out_dir)
+    compacted.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=0"))
+    src_pin = os.path.join(state_dir, "_WIDTH.json")
+    if os.path.exists(src_pin):  # carry the simhash width pin with the state
+        import shutil
+
+        shutil.copy(src_pin, os.path.join(out_dir, "_WIDTH.json"))
     return compacted
 
 
