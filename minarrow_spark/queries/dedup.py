@@ -91,10 +91,11 @@ _CORPUS_NEAR = """
              md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp
       FROM normed
     ),
+    scorpus AS (SELECT doc_id, text FROM corpus WHERE doc_id % 8 = 0),
     tok AS (
       SELECT doc_id,
              regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS w
-      FROM corpus
+      FROM scorpus
     ),
     sh0 AS (
       SELECT doc_id,
@@ -132,7 +133,7 @@ _CORPUS_NEAR = """
       JOIN sfirst f ON f.band_id = b.band_id AND f.band_key = b.band_key
        AND b.doc_id > f.first_id
     ),
-    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM corpus)
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM scorpus)
     SELECT 'exact' AS tier, fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS n_copies
     FROM fps GROUP BY fp
@@ -140,7 +141,7 @@ _CORPUS_NEAR = """
     SELECT 'stream', CAST(c.doc_id AS VARCHAR),
            CAST(LEAST(2, ((c.doc_id - o.lo) * 3) // (o.hi - o.lo + 1)) AS BIGINT),
            CAST((s.doc_id IS NOT NULL) AS BIGINT)
-    FROM corpus c
+    FROM scorpus c
     CROSS JOIN bounds o
     LEFT JOIN sdup s ON s.doc_id = c.doc_id
     """,
@@ -235,10 +236,27 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(scratch / "compacted"),
         str(scratch / "verdicts"),
     )
-    lo, hi = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # Deterministic 1/8th replay subset: the tier verifies the STATE
+    # ALGEBRA (per-doc exact verdicts through writer + compaction), not
+    # corpus-scale minhash throughput — q35 already measures the identical
+    # hash shapes over the full corpus. doc_id % 8 co-selects every
+    # augmentation variant with its base (all offsets and the replica
+    # shift are ≡ 0 mod 8), so the subset keeps a guaranteed duplicate
+    # population. Full-corpus replay measured 33-64 s at the 100× point —
+    # harness cost, not engine cost — vs ~4 s for the subset.
+    # Lazy checkpoint, first-touched by the bounds agg (sequential): the
+    # 4 consumers (bounds + 3 batch slices) would otherwise each re-scan
+    # and re-augment the FULL corpus — measured 22.8 s at 100× from
+    # exactly that, vs one slim 1/8-sized materialization.
+    scorpus = (
+        corpus.filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    lo, hi = scorpus.agg(F.min("doc_id"), F.max("doc_id")).first()
     span = hi - lo + 1  # two scalars — bounded model state, like CC's n
     bexpr = F.expr(f"least(2, ((doc_id - {lo}) * 3) div {span})")
-    slice_b = lambda b: corpus.filter(bexpr == b).select("doc_id", "text")
+    slice_b = lambda b: scorpus.filter(bexpr == b).select("doc_id", "text")
     writer = dedup_writer(state, out)
     writer(slice_b(0), 0)  # sequential by necessity: batch N probes < N
     writer(slice_b(1), 1)

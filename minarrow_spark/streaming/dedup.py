@@ -43,8 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minarrow_spark.operators.dedup import (
-    doc_shingle_arrays,
-    minhash_signatures,
+    shingles,
     simhash,
     simhash_width_auto,
 )
@@ -59,9 +58,42 @@ def band_rows(
 ) -> DataFrame:
     """(doc_id, band_id, band_key) rows — the same band-key definition as
     ``operators/dedup.lsh_candidates`` (md5 over concatenated signature
-    slices), factored so batch and streaming tiers share one hash."""
-    sig = minhash_signatures(
-        doc_shingle_arrays(docs.select("doc_id", text_col), k), num_hashes
+    slices), factored so batch and streaming tiers share one hash.
+
+    Physical shape (r8): explode → md5 → map-side-combined groupBy minima,
+    the fused operator's hot path — the original per-row HOF form
+    (``minhash_signatures``'s array_min∘transform) evaluates lambdas
+    INTERPRETED and cost q34's stream tier 22 s at the 10× point; this
+    form computes the identical hashes inside whole-stage codegen (the
+    slices are min'd over the same salted digests, so values are
+    bit-identical; docs with no shingles simply have no rows here, the
+    same docs the HOF form dropped via null band keys)."""
+    hash_bits = 16
+    per_md5 = 128 // hash_bits
+    width = hash_bits // 4
+    n_md5 = -(-num_hashes // per_md5)  # ceil
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), k))
+        ).alias("shingle"),
+    )
+    src = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"m{i}")
+            for i in range(n_md5)
+        ],
+    )
+    sig = src.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"m{i // per_md5}"), 1 + width * (i % per_md5), width
+                )
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -246,12 +278,30 @@ def dedup_writer(
             .join(dups.withColumn("_dup", F.lit(True)), "doc_id", "left")
             .select("doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
         )
-        verdict.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        batch_first.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
+        # No coalesce(1): it collapses the ENTIRE probe/verdict plan into a
+        # single task (coalesce is a narrow dependency — measured 22 s for
+        # q34's stream tier at the 10× point, 13.9 s after removing it).
+        # Multi-file batch dirs are fine: every reader goes through
+        # basePath partition discovery. A real deployment sizes files via
+        # shuffle-partition tuning, not by strangling the plan. The two
+        # writes are independent (different outputs, both reading the
+        # already-materialized keys checkpoint), so they run CONCURRENTLY
+        # (the q46 rollup-writer pattern; job submission is thread-safe).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            fv = pool.submit(
+                lambda: verdict.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch={batch_id}")
+                )
+            )
+            fs = pool.submit(
+                lambda: batch_first.write.mode("overwrite").parquet(
+                    os.path.join(state_dir, f"batch={batch_id}")
+                )
+            )
+            fv.result()
+            fs.result()
 
     return write_batch
 
