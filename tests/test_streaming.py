@@ -363,6 +363,42 @@ def test_rollup_hll_distinct_users_accuracy(spark, sf_dir):
         assert abs(r.approx_users - r.n_users) <= max(2, 0.05 * r.n_users), r
 
 
+def test_band_rows_matches_hof_signature_form(spark):
+    """band_rows' codegen explode→groupBy form (r8) must produce the EXACT
+    (doc_id, band_id, band_key) set the original HOF composition
+    (minhash_signatures over doc_shingle_arrays + md5 band concat) does —
+    the drift guard for the duplicated hash definition."""
+    import os as _os
+
+    from minarrow_spark.operators.dedup import (
+        doc_shingle_arrays,
+        minhash_signatures,
+    )
+    from minarrow_spark.streaming.dedup import band_rows
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(_os.path.join(SF_SMALL, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    got = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in band_rows(docs).collect()
+    }
+    sig = minhash_signatures(doc_shingle_arrays(docs, 3), 8)
+    hof = set()
+    for r in sig.collect():
+        if r.h0 is None:
+            continue
+        import hashlib
+
+        for b in range(4):
+            key = hashlib.md5(
+                (r[f"h{2 * b}"] + r[f"h{2 * b + 1}"]).encode()
+            ).hexdigest()
+            hof.add((r.doc_id, b, key))
+    assert got == hof and got
+
+
 def test_streaming_dedup_matches_batch_twin(spark, tmp_path):
     """Incremental LSH dedup over an id-ordered replay equals the one-shot
     batch twin for every doc, replayed batches are idempotent, and the
