@@ -303,6 +303,36 @@ def test_shingle_hashes_parity_on_hostile_text(spark):
     assert not (h[12] & h[13])
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=12))
+def test_char_gram_hashes_parity_property(spark, texts):
+    """Property form of the char-gram parity (hypothesis-generated unicode,
+    incl. combining marks and astral code points): window count, distinct
+    count, and a PYTHON-side reference of the window count must all agree
+    between char_grams and char_gram_hashes for n=4."""
+    from minarrow_spark.functions.text import char_gram_hashes, char_grams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        "text",
+        F.size(char_grams(F.col("text"), 4)).alias("ns"),
+        F.size(char_gram_hashes(F.col("text"), 4)).alias("nh"),
+        F.size(F.array_distinct(char_grams(F.col("text"), 4))).alias("ds"),
+        F.size(F.array_distinct(char_gram_hashes(F.col("text"), 4))).alias("dh"),
+    ).collect()
+    for r in rows:
+        want = max(len(r.text) - 3, 0)
+        assert r.ns == r.nh == want, (r.text, r.ns, r.nh, want)
+        want_d = len({r.text[i : i + 4] for i in range(want)}) if want else 0
+        assert r.ds == want_d, (r.text, r.ds, want_d)
+        # dh may differ from ds ONLY by hash collisions (probability ~0 on
+        # 15 short examples) — assert equality to catch real window bugs.
+        assert r.dh == r.ds, (r.text, r.dh, r.ds)
+
+
 def test_char_gram_hashes_parity_on_hostile_text(spark):
     """char_gram_hashes (q37's hashed grams, r8) must mirror char_grams'
     WINDOWS and set structure on hostile inputs: sub-n texts (empty
