@@ -173,9 +173,11 @@ def connected_components(
         labels = p2
         if changed == 0:
             return labels
+    # Each blocking round ran TWO steps, so the actual budget is
+    # 2*ceil(max_iter/2) — report that, not max_iter (off-by-one when odd).
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} steps "
-        "(graph diameter exceeds max_iter)"
+        f"connected_components did not converge in "
+        f"{2 * ((max_iter + 1) // 2)} steps (graph diameter exceeds budget)"
     )
 
 

@@ -2,9 +2,38 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 from minarrow_spark.sources.catalog import load_table
+
+# Queries that exercise at-rest state machines (q34 stream, q46 rollup)
+# need a scratch directory for their state/verdict files. Resolution order:
+# MINARROW_SCRATCH env var → a process-lifetime tempdir (r9: an absolute
+# path hardcoded inside a registered query was a portability landmine).
+_FALLBACK_SCRATCH: str | None = None
+
+
+def scratch_dir(family: str, sf_dir: str) -> Path:
+    """Fresh per-(family, sf) scratch dir for a query's at-rest files.
+
+    Always cleared on entry: these queries replay a deterministic state
+    lineage from scratch, so stale files from a prior run would be read as
+    state (merge-on-read) and change verdicts."""
+    global _FALLBACK_SCRATCH
+    base = os.environ.get("MINARROW_SCRATCH")
+    if base is None:
+        if _FALLBACK_SCRATCH is None:
+            _FALLBACK_SCRATCH = tempfile.mkdtemp(prefix="minarrow_scratch_")
+        base = _FALLBACK_SCRATCH
+    d = Path(base) / family / Path(sf_dir).name
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True, exist_ok=True)
+    return d
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

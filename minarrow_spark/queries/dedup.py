@@ -23,7 +23,7 @@ from minarrow_spark.operators.dedup import (
     minhash_lsh_jaccard,
 )
 from minarrow_spark.functions.text import WS
-from minarrow_spark.queries._util import T, par
+from minarrow_spark.queries._util import T, par, scratch_dir
 from minarrow_spark.registry import query
 
 # Shared oracle CTE fragments ------------------------------------------------
@@ -163,7 +163,7 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       min/max agg — id-ordered arrival is the replay contract), batches 0
       and 1 run through `dedup_writer`'s real probe→verdict→state-append
       path, the state is folded by `compact_state` (LSM min-of-firsts,
-      written as a batch=0 lineage), and batch 2 probes the COMPACTED
+      written under the batch=-1 sentinel), and batch 2 probes the COMPACTED
       state — so both the writer and the compaction algebra are
       load-bearing in the driver row. The DuckDB twin is the one-shot
       batch SQL (dup ⇔ a lower-id doc shares a band key) plus the batch
@@ -223,14 +223,10 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # tier 'stream' — three id-range batches through the real state files.
-    import shutil
-    from pathlib import Path
-
     from minarrow_spark.streaming.dedup import compact_state, dedup_writer
     from minarrow_spark.streaming.dedup import verdicts as stream_verdicts
 
-    scratch = Path("/root/repo/.scratch/sdedup") / Path(sf_dir).name
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = scratch_dir("sdedup", sf_dir)
     state, comp, out = (
         str(scratch / "state"),
         str(scratch / "compacted"),

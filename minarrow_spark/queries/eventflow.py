@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from minarrow_spark.functions.arithmetic import dec
 from minarrow_spark.operators.joins import asof_join
-from minarrow_spark.queries._util import T
+from minarrow_spark.queries._util import T, scratch_dir
 from minarrow_spark.registry import query
 
 
@@ -124,9 +124,6 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the hop tier is one map-side-combined shuffle; the rollup
     tier's serving read scans rollup-cardinality rows (windows × types),
     never raw history — the O(new-data) refresh pattern hypertables use."""
-    import shutil
-    from pathlib import Path
-
     from minarrow_spark.streaming.rollup import (
         compact_rollup,
         rollup_view,
@@ -150,8 +147,7 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    scratch = Path("/root/repo/.scratch/rollup") / Path(sf_dir).name
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = scratch_dir("rollup", sf_dir)
     raw_dir, comp_dir = str(scratch / "partials"), str(scratch / "compacted")
     write_batch = rollup_writer(raw_dir, "1 hour")
     # The three batch writes are INDEPENDENT jobs (each scans+aggregates

@@ -334,18 +334,22 @@ def compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> DataFram
     same merge algebra the probe's "earlier batch wins" relies on, so a
     compacted state answers probes identically. Writes to ``out_dir``
     (never in place: a live stream may still be appending) under
-    ``batch=0``, so the compacted directory IS a valid state lineage:
-    ``_read_state`` sees all folded history as batch 0, and a resumed
-    stream appends ``batch=N`` (N ≥ 1) beside it (r8 — previously the
-    flat layout made a compacted dir silently unreadable as state: the
-    reader's batch filter raised and fell back to empty)."""
+    ``batch=-1`` — a sentinel no foreachBatch id can ever take, so the
+    compacted directory IS a valid state lineage for ANY resumed or fresh
+    stream: ``_read_state``'s ``batch < before_batch`` filter includes the
+    fold for every batch id down to 0, and a FRESH checkpoint's batch 0
+    both probes the folded history and appends beside it without
+    clobbering (r9 — under the previous ``batch=0`` layout a fresh
+    checkpoint's first batch probed nothing and then overwrote the fold:
+    silent history loss; r8's flat layout was unreadable as state
+    entirely)."""
     compacted = (
         spark.read.option("basePath", state_dir)
         .parquet(state_dir)
         .groupBy("band_id", "band_key")
         .agg(F.min("first_id").alias("first_id"))
     )
-    compacted.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=0"))
+    compacted.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=-1"))
     src_pin = os.path.join(state_dir, "_WIDTH.json")
     if os.path.exists(src_pin):  # carry the simhash width pin with the state
         import shutil

@@ -445,11 +445,31 @@ def test_streaming_dedup_matches_batch_twin(spark, tmp_path):
     again = {r["doc_id"]: r["is_dup"] for r in verdicts(spark, out).collect()}
     assert again == want
     # compaction preserves the probe algebra: min-of-firsts == twin's firsts
-    comp = compact_state(spark, state, str(tmp_path / "state_c"))
+    comp_dir = str(tmp_path / "state_c")
+    comp = compact_state(spark, state, comp_dir)
     first = band_rows(docs).groupBy("band_id", "band_key").agg(
         F.min("doc_id").alias("first_id")
     )
     assert _canon(comp) == _canon(first)
+    # The fold lives under the batch=-1 sentinel, so a FRESH checkpoint's
+    # batch_id=0 against the compacted dir (a) probes the folded history —
+    # every doc that contributed a band key is now a duplicate of it — and
+    # (b) appends batch=0 BESIDE the fold instead of clobbering it (the r8
+    # batch=0 layout failed both, silently).
+    fresh_out = str(tmp_path / "out_fresh")
+    dedup_writer(comp_dir, fresh_out)(docs, 0)
+    fresh = {r["doc_id"]: r["is_dup"] for r in verdicts(spark, fresh_out).collect()}
+    keyed = {r["doc_id"] for r in band_rows(docs).select("doc_id").distinct().collect()}
+    assert keyed and all(fresh[d] for d in keyed)
+    state_batches = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(comp_dir)
+        if p.startswith("batch=")
+    )
+    assert state_batches == [-1, 0]
+    assert _canon(
+        spark.read.parquet(os.path.join(comp_dir, "batch=-1"))
+    ) == _canon(first)
 
 
 def test_streaming_ann_matches_batch_twin(spark, tmp_path):
