@@ -91,7 +91,7 @@ _CORPUS_NEAR = """
              md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp
       FROM normed
     ),
-    scorpus AS (SELECT doc_id, text FROM corpus WHERE doc_id % 8 = 0),
+    scorpus AS (SELECT doc_id, text FROM corpus WHERE doc_id % 16 = 0),
     tok AS (
       SELECT doc_id,
              regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS w
@@ -139,11 +139,14 @@ _CORPUS_NEAR = """
     FROM fps GROUP BY fp
     UNION ALL
     SELECT 'stream', CAST(c.doc_id AS VARCHAR),
-           CAST(LEAST(2, ((c.doc_id - o.lo) * 3) // (o.hi - o.lo + 1)) AS BIGINT),
+           CAST(LEAST(1, ((c.doc_id - o.lo) * 2) // (o.hi - o.lo + 1)) AS BIGINT),
            CAST((s.doc_id IS NOT NULL) AS BIGINT)
     FROM scorpus c
     CROSS JOIN bounds o
     LEFT JOIN sdup s ON s.doc_id = c.doc_id
+    UNION ALL
+    SELECT 'fold', band_key, CAST(first_id AS BIGINT), CAST(band_id AS BIGINT)
+    FROM sfirst
     """,
     tags=("dedup", "exact", "normalize", "streaming", "ST1", "ST3"),
 )
@@ -159,19 +162,23 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     * tier 'stream' — the incremental minhash-LSH dedup state machine
       (streaming/dedup.py) exercised end-to-end THROUGH ITS AT-REST FILES
       (r8 verdict task 6, on the q46 'rollup' precedent): the corpus is
-      split into 3 deterministic id-range batches (boundaries from one
-      min/max agg — id-ordered arrival is the replay contract), batches 0
-      and 1 run through `dedup_writer`'s real probe→verdict→state-append
-      path, the state is folded by `compact_state` (LSM min-of-firsts,
-      written under the batch=-1 sentinel), and batch 2 probes the COMPACTED
-      state — so both the writer and the compaction algebra are
-      load-bearing in the driver row. The DuckDB twin is the one-shot
-      batch SQL (dup ⇔ a lower-id doc shares a band key) plus the batch
-      assignment replayed from the same min/max bounds — equality proves
-      the streamed/compacted state algebra matches the one-shot batch
-      semantics for this split. Columns (slot-mapped into the shared
-      schema): fp = doc_id as string, keep_id = batch id, n_copies =
-      is_dup as 0/1.
+      split into 2 deterministic id-range batches (boundaries from one
+      min/max agg — id-ordered arrival is the replay contract), both run
+      through `dedup_writer`'s real probe→verdict→state-append path
+      (batch 1 probes batch 0's raw state). The DuckDB twin is the
+      one-shot batch SQL (dup ⇔ a lower-id doc shares a band key) plus
+      the batch assignment replayed from the same min/max bounds.
+      Columns (slot-mapped into the shared schema): fp = doc_id as
+      string, keep_id = batch id, n_copies = is_dup as 0/1.
+    * tier 'fold' — `compact_state`'s LSM min-of-firsts across BOTH batch
+      dirs (written under the batch=-1 sentinel), emitted as output rows
+      and value-checked against the oracle's one-shot sfirst CTE — the
+      compaction algebra checked DIRECTLY rather than through a third
+      batch's probe verdicts (r9: each replayed batch costs ~2.7 s of
+      fixed job boundaries at 100×, and the direct check is stronger;
+      the probe-a-compacted-lineage path is pinned in
+      tests/test_streaming.py). Columns: fp = band_key, keep_id =
+      first_id, n_copies = band_id.
 
     The corpus is augmented with the variants a real crawl produces, so the
     normalization tiers are what the oracle hash actually checks:
@@ -222,7 +229,10 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("exact").alias("tier"), "fp", "keep_id", "n_copies"
     )
 
-    # tier 'stream' — three id-range batches through the real state files.
+    # tiers 'stream' + 'fold' — id-range batches through the real state
+    # files, then the compacted state itself as output rows.
+    import os as _os
+
     from minarrow_spark.streaming.dedup import compact_state, dedup_writer
     from minarrow_spark.streaming.dedup import verdicts as stream_verdicts
 
@@ -232,39 +242,61 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(scratch / "compacted"),
         str(scratch / "verdicts"),
     )
-    # Deterministic 1/8th replay subset: the tier verifies the STATE
+    # Deterministic 1/16th replay subset: the tier verifies the STATE
     # ALGEBRA (per-doc exact verdicts through writer + compaction), not
     # corpus-scale minhash throughput — q35 already measures the identical
-    # hash shapes over the full corpus. doc_id % 8 co-selects every
-    # augmentation variant with its base (all offsets and the replica
-    # shift are ≡ 0 mod 8), so the subset keeps a guaranteed duplicate
-    # population. Full-corpus replay measured 33-64 s at the 100× point —
-    # harness cost, not engine cost — vs ~4 s for the subset.
+    # hash shapes over the full corpus. doc_id % 16 co-selects every
+    # augmentation variant with its base (all offsets — 100000, 300000,
+    # 400000, 500000 — and the 100M replica shift are ≡ 0 mod 16), so the
+    # subset keeps a guaranteed duplicate population: every base ≡ 0 mod
+    # lcm(16,10)=80 appears with its byte-exact +100000 copy. Full-corpus
+    # replay measured 33-64 s at the 100× point — harness cost, not engine
+    # cost; 1/8 → 1/16 was the r9 verdict's option (c), worth ~0.7 s.
     # Lazy checkpoint, first-touched by the bounds agg (sequential): the
-    # 4 consumers (bounds + 3 batch slices) would otherwise each re-scan
+    # consumers (bounds + batch slices) would otherwise each re-scan
     # and re-augment the FULL corpus — measured 22.8 s at 100× from
-    # exactly that, vs one slim 1/8-sized materialization.
+    # exactly that, vs one slim subset-sized materialization.
     scorpus = (
-        corpus.filter(F.col("doc_id") % 8 == 0)
+        corpus.filter(F.col("doc_id") % 16 == 0)
         .select("doc_id", "text")
         .localCheckpoint(eager=False)
     )
     lo, hi = scorpus.agg(F.min("doc_id"), F.max("doc_id")).first()
     span = hi - lo + 1  # two scalars — bounded model state, like CC's n
-    bexpr = F.expr(f"least(2, ((doc_id - {lo}) * 3) div {span})")
+    bexpr = F.expr(f"least(1, ((doc_id - {lo}) * 2) div {span})")
     slice_b = lambda b: scorpus.filter(bexpr == b).select("doc_id", "text")
+    # TWO replayed batches, not three (r9 — per-batch cost at 100× is
+    # ~2.7 s of FIXED job-boundary overhead, independent of subset size:
+    # 1/8 vs 1/16 measured 2.9 vs 2.9 s/batch, so the cut is a batch, not
+    # rows). Batch 1 probes batch 0's raw state (prior-state probe path);
+    # the compaction fold across BOTH batch dirs then becomes the 'fold'
+    # output tier — a DIRECT value check of the min-of-firsts algebra
+    # against the oracle's sfirst CTE, strictly stronger than the old
+    # third batch's indirect probe of it (and the probe-a-compacted-
+    # lineage path is pinned in tests/test_streaming.py against the
+    # batch=-1 sentinel). Measured refusal (r9): materializing the exact
+    # tier on a thread CONCURRENTLY with the replay gains nothing — the
+    # vanilla session's FIFO scheduler gives the exact tier's wide stages
+    # every slot, the replay's near-single-partition jobs starve (batch 0
+    # 2.9 s alone → 7-14 s under contention), and the block degenerates
+    # to the serial sum with extra variance.
     writer = dedup_writer(state, out)
     writer(slice_b(0), 0)  # sequential by necessity: batch N probes < N
     writer(slice_b(1), 1)
     compact_state(spark, state, comp)
-    dedup_writer(comp, out)(slice_b(2), 2)  # probes the COMPACTED lineage
     stream = stream_verdicts(spark, out).select(
         F.lit("stream").alias("tier"),
         F.col("doc_id").cast("string").alias("fp"),
         F.col("batch").cast("bigint").alias("keep_id"),
         F.col("is_dup").cast("bigint").alias("n_copies"),
     )
-    return exact.unionByName(stream)
+    fold = spark.read.parquet(_os.path.join(comp, "batch=-1")).select(
+        F.lit("fold").alias("tier"),
+        F.col("band_key").alias("fp"),
+        F.col("first_id").cast("bigint").alias("keep_id"),
+        F.col("band_id").cast("bigint").alias("n_copies"),
+    )
+    return exact.unionByName(stream).unionByName(fold)
 
 
 @query(

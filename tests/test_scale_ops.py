@@ -334,6 +334,20 @@ def test_normalize_text_catalyst_and_nfc(spark):
     nfc = {r.id: r.text for r in normalize_text_nfc(df).collect()}
     assert nfc[2] == nfc[3] == "café again"
     assert nfc[4] is None
+    # r9 ASCII fast path: a pure-ASCII frame passes through untouched (the
+    # batch short-circuit — every normalization form is identity on ASCII),
+    # indistinguishable from full normalization. Nulls ride along.
+    ascii_rows = [(i, f"plain ascii {i}") for i in range(5)] + [(99, None)]
+    adf = spark.createDataFrame(ascii_rows, ["id", "text"])
+    assert {r.id: r.text for r in normalize_text_nfc(adf).collect()} == dict(
+        ascii_rows
+    )
+    # NFD on a mixed batch: only the non-ASCII value changes
+    nfd = {r.id: r.text for r in normalize_text_nfc(df, form="NFD").collect()}
+    import unicodedata
+
+    assert nfd[3] == unicodedata.normalize("NFD", "café again")
+    assert nfd[2] == nfd[3]
 
 
 def test_q34_variants_actually_collapse(spark, sf_dir):
@@ -345,7 +359,11 @@ def test_q34_variants_actually_collapse(spark, sf_dir):
 
     from minarrow_spark.registry import all_queries
 
-    out = all_queries()["q34_dedup_exact"].fn(spark, sf_dir)
+    # tier filter: the fold tier's slot-mapped columns (keep_id=first_id,
+    # n_copies=band_id) would otherwise leak into these counts (r9)
+    out = all_queries()["q34_dedup_exact"].fn(spark, sf_dir).filter(
+        F.col("tier") == "exact"
+    )
     trip = out.filter(F.col("n_copies") >= 3).count()
     n_tenth = out.sparkSession.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 10 == 0
