@@ -535,35 +535,39 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     gd = dkg.filter(F.col("k") == 4).select(
         "doc_id", "g", F.col("c").alias("occ"), "gc"
     )
-    # Gram doc-frequency as a map-side-combined agg + semi-join back — NOT a
-    # count-over-window on the gram key: window partitions get no partial
-    # aggregation and no AQE skew split, so at 100× the hottest boilerplate
-    # gram (exactly what this signal hunts) would land on one reducer.
-    # groupBy("g") combines map-side; the shared-gram key set is then
-    # benchmark-of-itself-sized and the semi-join carries no payload.
-    shared_grams = (
-        gd.groupBy("g")
-        .agg(F.sum("gc").alias("dfg"))  # doc-frequency counts clones too
-        .filter(F.col("dfg") >= 2)
-        .select("g")
+    # Shared-span mass by COMPLEMENT (r9 — one consumer instead of three):
+    # n_shared = n_gr − Σocc over the doc's UNSHARED grams, and a gram with
+    # doc-frequency 1 lives in exactly one (doc, g) row — so ONE
+    # map-side-combined groupBy(g) carrying (dfg, min doc, Σocc) yields the
+    # per-doc unshared mass from a second agg over GRAM-STATS rows, with no
+    # join back onto the occurrence table. The r8 form (df agg + semi-join
+    # + per-doc agg) re-shuffled the k=4 occurrence slice twice more.
+    # Measured (r9, with the docagg fusion below): on a CLONE-FREE 50×
+    # corpus (per-replica text salt — the regime a real 100 TB crawl is
+    # in, where collapse can't shrink the gram tier) 17.6-18.3 → 13.8-14.2
+    # s interleaved; on the standard clone-degenerate 100× replica point
+    # it pays ~0.6 s (9.6 vs 10.3 isolated) because collapse already
+    # shrank dkg to ~1% there and the fused consumers' per-row overhead is
+    # all that's left to see. The realistic regime wins by 25%.
+    # (Still an agg, not a count-over-window: windows get no partial
+    # aggregation and the hottest boilerplate gram would land on one
+    # reducer.) For dfg ≥ 2 rows min(doc_id)/Σocc are unused; for
+    # dfg == 1 they are the single row's values — deterministic.
+    g4stats = gd.groupBy("g").agg(
+        F.sum("gc").alias("dfg"),  # doc-frequency counts clones too
+        F.min("doc_id").alias("only_doc"),
+        F.sum("occ").alias("tot_occ"),
     )
-    grshared = (
-        gd.join(shared_grams, "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.sum("occ").cast("bigint").alias("n_shared"))
+    bp = (
+        g4stats.filter(F.col("dfg") == 1)
+        .groupBy("only_doc")
+        .agg(F.sum("tot_occ").cast("bigint").alias("n_unshared"))
+        .withColumnRenamed("only_doc", "doc_id")
     )
-    bp = grshared
     # Gopher-style intra-document repetition signals (token approximation of
     # the char-fraction originals): top-2-gram share (2·max 2-gram count /
     # n_tokens) and duplicate-3-gram fraction (occurrences of 3-grams seen
     # ≥2× in the doc / all 3-gram occurrences).
-    kgc = dkg.filter(F.col("k").isin(2, 3))
-    repd = kgc.groupBy("doc_id").agg(
-        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("m2"),
-        F.sum(F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c")).otherwise(0))
-        .alias("d3n"),
-        F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(0)).alias("d3d"),
-    )
     dw = dkg.filter(F.col("k") == 1).select(
         "doc_id", F.col("g").alias("w"), F.col("c").alias("cw"), "gc"
     )
@@ -571,30 +575,56 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cw") * F.col("gc")).cast("bigint").alias("c")
     )
     tot = cnt.agg(F.sum("c").alias("n"))
+    # Gopher repetition (k=2,3) and unigram surprisal (k=1) FUSED into one
+    # groupBy(doc_id) pass over the shared exchange (r9): both were
+    # doc-keyed reduce-side finals over dkg slices, each re-reading the
+    # full shuffle — fusing halves those reads and drops one doc-keyed
+    # join from the expansion below. The vocab broadcast joins only k=1
+    # rows (compound condition: a k≥2 gram hash could collide with a word
+    # hash, so equality on g alone would be unsound).
     # per-(doc, word) surprisal × multiplicity — exact: the rounded
-    # per-value decimal is fixed per word, so cw · nll_w == Σ_{cw} nll_w
-    docn = (
-        dw.join(F.broadcast(cnt.crossJoin(tot)), "w")
-        .select(
-            "doc_id",
-            "cw",
-            (
-                F.col("cw").cast("decimal(10,0)")
-                * F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6)
-                .cast("decimal(18,6)")
-            ).cast("decimal(28,6)").alias("nllc"),
+    # per-value decimal is fixed per word, so cw · nll_w == Σ_{cw} nll_w.
+    vocab = cnt.crossJoin(tot).select(
+        F.col("w").alias("vg"),
+        F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll_w"),
+    )
+    docagg = (
+        dkg.filter(F.col("k").isin(1, 2, 3))
+        .join(
+            F.broadcast(vocab),
+            (F.col("g") == F.col("vg")) & (F.col("k") == 1),
+            "left",
         )
         .groupBy("doc_id")
         .agg(
-            F.sum("nllc").alias("nll_sum"),
-            F.sum("cw").cast("bigint").alias("n_tok_nll"),
+            F.max(F.when(F.col("k") == 2, F.col("c"))).alias("m2"),
+            F.sum(
+                F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c")).otherwise(0)
+            ).alias("d3n"),
+            F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(0)).alias("d3d"),
+            F.sum(
+                F.when(
+                    F.col("k") == 1,
+                    (F.col("c").cast("decimal(10,0)") * F.col("nll_w")).cast(
+                        "decimal(28,6)"
+                    ),
+                )
+            ).alias("nll_sum"),
+            F.sum(F.when(F.col("k") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("n_tok_nll"),
         )
     )
     hi = F.col("nll_sum") > F.lit("3.5").cast("decimal(2,1)") * F.col("n_tok_nll")
     bpf = F.when(
         F.col("n_gr") > 0,
         F.round(
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_gr"), 6
+            (F.col("n_gr") - F.coalesce(F.col("n_unshared"), F.lit(0)))
+            .cast("double")
+            / F.col("n_gr"),
+            6,
         ),
     ).otherwise(F.lit(0.0))
     t2s = F.when(
@@ -608,9 +638,8 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical per-doc values); `source` comes from the raw doc row. The
     # array columns in `base` are column-pruned out of this branch.
     metrics = (
-        base.join(docn, "doc_id", "left")
+        base.join(docagg, "doc_id", "left")
         .join(bp, "doc_id", "left")
-        .join(repd, "doc_id", "left")
         .drop("gc")  # members carries the authoritative copy
         .withColumnRenamed("doc_id", "rep")
     )
