@@ -387,3 +387,69 @@ def test_char_gram_hashes_parity_on_hostile_text(spark):
         }
 
     assert inters(sarr) == inters(harr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(BIGINTS | INTS | st.sampled_from([0, 1, -1, 2**62, -(2**62)]),
+                  BIGINTS | INTS | st.sampled_from([0, 1, -1])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_m9_division_matches_duckdb(spark, pairs):
+    """M9 semantics CROSS-ENGINE (r9 verdict task 6): floordiv toward −∞,
+    C-style remainder, and try_divide nullification evaluated by Spark
+    must equal the DuckDB SQL forms a paired oracle would write, on random
+    longs including full-range and INT-edge values. DuckDB's ``//``
+    TRUNCATES (7//-2 = -3... toward zero), so the oracle-side floordiv is
+    the sign-adjusted form — exactly the expression any future oracle
+    using floordiv must copy. Excluded: LONG_MIN/−1 (overflows in both
+    engines — the reference's checked-op raise, `operators.rs:41-47`).
+    """
+    import duckdb
+
+    pairs = [
+        (i, a, b)
+        for i, (a, b) in enumerate(pairs)
+        if not (a == -(2**63) and b == -1)
+    ]
+    df = spark.createDataFrame(pairs, "i long, a long, b long")
+    got = {
+        r.i: (r.fd, r.rem, r.td)
+        for r in df.select(
+            "i",
+            floordiv_int(F.col("a"), F.col("b")).alias("fd"),
+            remainder(F.col("a"), F.col("b")).alias("rem"),
+            try_div(F.col("a"), F.col("b")).alias("td"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", pairs)
+    want = {
+        i: (fd, rem, td)
+        for i, fd, rem, td in con.execute(
+            """
+            SELECT i,
+                   CASE WHEN b = 0 THEN NULL
+                        WHEN (a % b) <> 0 AND ((a < 0) <> (b < 0))
+                          THEN a // b - 1
+                        ELSE a // b END AS fd,
+                   CASE WHEN b = 0 THEN NULL ELSE a % b END AS rem,
+                   CASE WHEN b = 0 THEN NULL
+                        ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS td
+            FROM t
+            """
+        ).fetchall()
+    }
+    con.close()
+    for i, a, b in pairs:
+        assert got[i][0] == want[i][0], ("fd", a, b, got[i][0], want[i][0])
+        assert got[i][1] == want[i][1], ("rem", a, b, got[i][1], want[i][1])
+        if b == 0:
+            assert got[i][2] is None and want[i][2] is None
+        else:
+            # both sides compute the IEEE double quotient — bit-equal
+            assert got[i][2] == want[i][2], ("td", a, b, got[i][2], want[i][2])
