@@ -346,7 +346,6 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks against DuckDB (top_part_cms ≥ top_part_n by CMS's
     overestimate-only guarantee)."""
     l = T(spark, sf_dir, "lineitem")
-    n = F.count(F.lit(1))
 
     # Declarative tier SPLIT from the sketch tier (r7, measured at 100×):
     # approx_count_distinct / percentile_approx are TypedImperativeAggregates
@@ -365,45 +364,67 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must salt (the ~3e11 rows/group note above) BEFORE that bound, which
     # restores exactness: salted partials stay under 2^53 each and the
     # final merge is decimal.
-    qc = F.round(F.col("l_quantity") * 100).cast("long")
-    qq = F.round(F.col("l_quantity") * F.col("l_quantity") * 10000).cast("long")
-    s1 = (F.sum(qc) / F.lit(100.0)).cast("double")
-    s2 = (F.sum(qq) / F.lit(10000.0)).cast("double")
+    # ONE (returnflag, quantity) weighted histogram feeds the whole
+    # declarative tier (r9 — deletes a full corpus scan): l_quantity is
+    # unit-grained (~50 distinct values), so count/min/max/avg/var, the
+    # null count, AND the 10 equi-width buckets are all EXACT functions of
+    # (flag, qty, qn) — ~153 rows after the map-side combine. Bit-identity
+    # of the scaled-long moments: every row with quantity v contributes the
+    # same round(100v) long, so Σ_rows qc == Σ_v qn·qc(v) (integer addition
+    # is associative), and the double divides are the identical expressions
+    # on identical longs. The exact-percentile branch below consumes the
+    # SAME aggregation (null row filtered off), sharing its exchange via
+    # runtime reuse. The null-quantity group rides as its own histogram
+    # row (vc/vq/bucket exprs are null there → sums skip it, as the
+    # per-row forms did).
+    qh0 = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("qn")
+    )
+    vc = F.round(F.col("l_quantity") * 100).cast("long")
+    vq = F.round(F.col("l_quantity") * F.col("l_quantity") * 10000).cast("long")
+    s1 = (F.sum(vc * F.col("qn")) / F.lit(100.0)).cast("double")
+    s2 = (F.sum(vq * F.col("qn")) / F.lit(10000.0)).cast("double")
+    n = F.sum("qn")
 
-    main = l.groupBy("l_returnflag").agg(
+    def hbucket(i: int):
+        return (
+            F.sum(
+                F.when(F.floor((F.col("l_quantity") - 1) / 5) == i, F.col("qn"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"h{i}")
+        )
+
+    main = qh0.groupBy("l_returnflag").agg(
         n.alias("n"),
         F.min("l_quantity").cast("double").alias("min_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
         (s1 / n).alias("avg_qty"),
         ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_qty"),
-        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("l_quantity").isNull(), F.col("qn")).otherwise(0))
         .cast("bigint")
         .alias("n_null_qty"),
         # A5/A9 depth: equi-width histogram of quantity (10 buckets of
-        # width 5 over [1, 50]) as conditional sums — fixed-size partials,
-        # map-side combined, the portable form width_bucket lacks in DuckDB
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 0, 1).otherwise(0)).cast("bigint").alias("h0"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 1, 1).otherwise(0)).cast("bigint").alias("h1"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 2, 1).otherwise(0)).cast("bigint").alias("h2"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 3, 1).otherwise(0)).cast("bigint").alias("h3"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 4, 1).otherwise(0)).cast("bigint").alias("h4"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 5, 1).otherwise(0)).cast("bigint").alias("h5"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 6, 1).otherwise(0)).cast("bigint").alias("h6"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 7, 1).otherwise(0)).cast("bigint").alias("h7"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 8, 1).otherwise(0)).cast("bigint").alias("h8"),
-        F.sum(F.when(F.floor((F.col("l_quantity") - 1) / 5) == 9, 1).otherwise(0)).cast("bigint").alias("h9"),
+        # width 5 over [1, 50]) — the portable form width_bucket lacks in
+        # DuckDB, now weighted-histogram sums instead of per-row sums
+        *[hbucket(i) for i in range(10)],
     )
 
-    # Sketch tier: the three bounded-state estimators in their own
-    # ObjectHashAggregate. percentile_approx accuracy is sized to the bound
-    # the output actually asserts (±1 quantity unit): a unit spans ~2% of
-    # the rank space over the ~50 uniform unit values, and accuracy=1000
-    # bounds rank error at 0.1% — 20× inside the check, at half the update
-    # cost of the 10000 default (measured 5.65 → 2.68 s at 100×). Still
-    # deterministic for fixed input, so *_ok stays hash-checked.
+    # Sketch tier (r9 re-homed): percentile_approx keeps its own
+    # ObjectHashAggregate scan (a rank sketch is multiplicity-SENSITIVE, so
+    # it cannot ride the weighted histogram), but both HLLs moved off this
+    # scan onto the distinct frames that already exist — HLL registers are
+    # max-of-hash-ranks, multiplicity-INVARIANT, so the sketch over pkc's
+    # (flag, partkey) pairs / the orderkey-distinct frame is bit-identical
+    # to the raw-row sketch at a fraction of the update volume.
+    # percentile_approx accuracy is sized to the bound the output actually
+    # asserts (±1 quantity unit): a unit spans ~2% of the rank space over
+    # the ~50 uniform unit values, and accuracy=1000 bounds rank error at
+    # 0.1% — 20× inside the check, at half the update cost of the 10000
+    # default (measured 5.65 → 2.68 s at 100×). Still deterministic for
+    # fixed input, so *_ok stays hash-checked.
     sketches = l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
         F.percentile_approx("l_quantity", 0.9, 1000).alias("_p90a"),
     )
 
@@ -422,9 +443,7 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order Percentile.getPercentile evaluates. Nulls excluded from n, as
     # F.percentile does.
     qh = (
-        l.filter(F.col("l_quantity").isNotNull())
-        .groupBy("l_returnflag", "l_quantity")
-        .agg(F.count(F.lit(1)).alias("qn"))
+        qh0.filter(F.col("l_quantity").isNotNull())
         .select(
             "l_returnflag", F.col("l_quantity").cast("double").alias("v"), "qn"
         )
@@ -464,13 +483,19 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_pct_cols(0.5, "median_qty"), *_pct_cols(0.9, "p90_qty")
     )
 
-    def exact_distinct(col: str, alias: str):
-        return (
-            l.select("l_returnflag", col)
-            .distinct()
-            .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias(alias))
+    # Exact n_orders AND its HLL check value from ONE distinct frame (r9):
+    # the HLL over the distinct (flag, orderkey) pairs is register-identical
+    # to the raw-row HLL (multiplicity-invariant), so the old separate
+    # sketch scan's _ao folds into the scan the exact count already pays.
+    orders_tier = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("_n_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
         )
+    )
 
     def within(approx, exact, tol: float = 0.10):
         return F.abs(approx.cast("double") - exact.cast("double")) <= (
@@ -487,33 +512,45 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minarrow_spark.operators.sketch import cms_build, cms_estimate
 
     # ONE (returnflag, partkey) aggregation feeds every partkey tier (r6):
-    # top-1 heavy hitter (window), exact n_parts (count of pairs — replaces
+    # top-1 heavy hitter, exact n_parts (count of pairs — replaces
     # a separate scan + two-level distinct), and the CMS (built from the
     # weighted pairs: cell sums are bit-identical to counting raw rows,
     # with one md5 per DISTINCT pair instead of per input row — ~30× less
-    # hashing at the 100× point). The three consumers share pkc's scan +
-    # shuffle through runtime exchange reuse (verified: 2 ReusedExchange
-    # nodes in the executed adaptive plan at 10×; no checkpoint — no job
+    # hashing at the 100× point). The consumers share pkc's scan +
+    # shuffle through runtime exchange reuse (no checkpoint — no job
     # boundary, no 2M-row materialization). Measured at 10×: 5.98 s (old
     # shape: separate partkey-distinct scan + raw-row CMS) → 3.50 s.
     pkc = l.groupBy("l_returnflag", "l_partkey").agg(F.count(F.lit(1)).alias("pc"))
-    tw = W.partitionBy("l_returnflag").orderBy(F.col("pc").desc(), "l_partkey")
-    top1 = (
-        pkc.withColumn("r", F.row_number().over(tw))
-        .filter(F.col("r") == 1)
+    # n_parts, the partkey HLL (multiplicity-invariant — same registers as
+    # the raw-row sketch), AND the top-1 heavy hitter ride ONE agg over
+    # pkc's reused exchange (r9). top-1 as max-of-struct, not row_number:
+    # the window form sorts the 2M pair rows inside THREE flag partitions —
+    # three tasks, zero parallelism at 100× (attributed 4.6 s for the pkc
+    # tier, ~3 s of it above the 1.66 s pkc agg itself) — while max(struct)
+    # is a declarative map-side-combined agg. Tie-break parity with the old
+    # (pc DESC, partkey ASC) window: max pc, then max(-partkey) = min
+    # partkey — exact.
+    part_stats = (
+        pkc.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+            F.max(
+                F.struct(F.col("pc"), (-F.col("l_partkey")).alias("_np"))
+            ).alias("_top"),
+        )
         .select(
             "l_returnflag",
-            F.col("l_partkey").alias("top_part"),
-            F.col("pc").cast("bigint").alias("top_part_n"),
+            "n_parts",
+            "_ap",
+            (-F.col("_top._np")).alias("top_part"),
+            F.col("_top.pc").cast("bigint").alias("top_part_n"),
         )
-    )
-    n_parts = pkc.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_parts")
     )
     sketch = cms_build(pkc, "l_partkey", ["l_returnflag"], weight_col="pc")
     est = cms_estimate(
         sketch,
-        top1.select("l_returnflag", F.col("top_part").alias("l_partkey")),
+        part_stats.select("l_returnflag", F.col("top_part").alias("l_partkey")),
         "l_partkey",
         ["l_returnflag"],
     ).select(
@@ -524,15 +561,14 @@ def q24_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         main.join(sketches, "l_returnflag")
-        .join(n_parts, "l_returnflag")
-        .join(exact_distinct("l_orderkey", "_n_orders"), "l_returnflag")
+        .join(part_stats, "l_returnflag")
+        .join(orders_tier, "l_returnflag")
         # LEFT join: pcts is built only from non-null quantities, so a group
         # whose quantities are ALL null would otherwise vanish from the
         # output entirely — F.percentile (and the oracle's quantile_cont)
         # keep the group row with null percentiles, and null _vlo/_vhi/_frac
         # propagate to a null _pct_val consistently on both sides.
         .join(F.broadcast(pcts), "l_returnflag", "left")
-        .join(F.broadcast(top1), "l_returnflag")
         .join(F.broadcast(est), ["l_returnflag", "top_part"])
     )
     p90 = _pct_val("p90_qty")
