@@ -453,3 +453,40 @@ def test_m9_division_matches_duckdb(spark, pairs):
         else:
             # both sides compute the IEEE double quotient — bit-equal
             assert got[i][2] == want[i][2], ("td", a, b, got[i][2], want[i][2])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=24),
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24),
+            st.sampled_from(["", "café", "café", "a​b", "ẛ̣"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_nfc_fast_path_matches_python(spark, texts):
+    """normalize_text_nfc's ASCII fast path (r9) must be observationally
+    identical to per-value unicodedata.normalize for ANY mix of ASCII,
+    non-ASCII, empty, and null values — the batch short-circuit and the
+    per-value flag routing are implementation details the output can't
+    reveal. Soundness being pinned: ASCII ⇔ byte-len == char-len in
+    UTF-8, and every normalization form is identity exactly on ASCII."""
+    import unicodedata
+
+    from minarrow_spark.functions.text import normalize_text_nfc
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for form in ("NFC", "NFD"):
+        got = {
+            r.id: r.text for r in normalize_text_nfc(df, form=form).collect()
+        }
+        want = {
+            i: (None if t is None else unicodedata.normalize(form, t))
+            for i, t in rows
+        }
+        assert got == want
