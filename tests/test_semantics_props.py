@@ -490,3 +490,71 @@ def test_nfc_fast_path_matches_python(spark, texts):
             for i, t in rows
         }
         assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(min_value=__import__("datetime").date(1800, 1, 1),
+                     max_value=__import__("datetime").date(2200, 12, 31)),
+            st.integers(min_value=-30, max_value=30),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_datetime_semantics_match_duckdb(spark, rows):
+    """D1-D12 semantics CROSS-ENGINE on random dates (r9, extending the M9
+    beachhead): ISO day-of-week/week-of-year, leap years, calendar day
+    adds, and month adds with end-of-month clamping must agree with
+    DuckDB. Leap year is pinned SEMANTICALLY on the oracle side (does
+    Feb 29 exist — day(last_day(Feb 1)) = 29), not by replicating the
+    mod-4/100/400 formula, so a formula bug cannot self-confirm. Both
+    engines use the proleptic Gregorian calendar."""
+    import duckdb
+
+    from minarrow_spark.functions.datetimes import (
+        add_days,
+        add_months_,
+        date_str,
+        is_leap_year,
+        iso_dow,
+        iso_week,
+    )
+
+    data = [(i, d.isoformat(), m, nd) for i, (d, m, nd) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i long, d string, m int, nd int")
+    dd = F.to_date("d")
+    got = {
+        r.i: (r.dow, r.wk, r.leap, r.addd, r.addm)
+        for r in df.select(
+            "i",
+            iso_dow(dd).alias("dow"),
+            iso_week(dd).alias("wk"),
+            is_leap_year(dd).alias("leap"),
+            date_str(F.date_add(dd, F.col("nd"))).alias("addd"),
+            date_str(F.add_months(dd, F.col("m"))).alias("addm"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, d DATE, m INT, nd INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data)
+    want = {
+        i: vals
+        for i, *vals in con.execute(
+            """
+            SELECT i,
+                   isodow(d),
+                   weekofyear(d),
+                   day(last_day(make_date(year(d), 2, 1))) = 29,
+                   strftime(d + nd * INTERVAL 1 DAY, '%Y-%m-%d'),
+                   strftime(d + m * INTERVAL 1 MONTH, '%Y-%m-%d')
+            FROM t
+            """
+        ).fetchall()
+    }
+    con.close()
+    for i, _, m, nd in data:
+        assert list(got[i]) == want[i], (data[i], got[i], want[i])
