@@ -3,9 +3,12 @@ per-replica key shifts (same generator bench.py's 10× tier uses) and run a
 spanning query subset — the measured answer to "would this plan survive a
 100× scale-up?". Results are recorded in SCALE.md.
 
-Usage: python scripts/scale100.py [--isolated] [q...]   (default: the
-subset below). Writes replicas to .scratch/bench_x100 (~1.6 GB) and prints
-one JSON line.
+Usage: python scripts/scale100.py [--isolated] [--distinct-text] [q...]
+(default: the subset below). Writes replicas to .scratch/bench_x100
+(~1.6 GB) and prints one JSON line. --distinct-text switches to the
+CLONE-FREE regime (documents only, 50× with per-replica text salt) for
+text-family queries — the standard replica corpus is clone-degenerate and
+hides any cost that scales with distinct text (r9 q32 finding).
 
 Measurement hygiene (r7 verdict task 4 — sweeps must be honest BY
 CONSTRUCTION, not via post-hoc footnotes): every timed run is preceded by
@@ -54,6 +57,7 @@ DEFAULT = (
 def main() -> None:
     argv = sys.argv[1:]
     isolated = "--isolated" in argv
+    distinct_text = "--distinct-text" in argv
     names = [a for a in argv if not a.startswith("--")] or list(DEFAULT)
     reps = 5 if isolated else 2
     spark = get_spark("minarrow_spark_x100")
@@ -61,19 +65,46 @@ def main() -> None:
     qs = all_queries()
 
     t0 = time.perf_counter()
-    bench._build_x10(spark, "/root/testdata/sf0.1", out_dir=X100_DIR, copies=100)
+    data_dir = X100_DIR
+    if distinct_text:
+        # CLONE-FREE regime (r9): the standard replica corpus duplicates
+        # every text 100×, so exact-content collapse shrinks gram/shingle
+        # tiers to ~1% and any cost that scales with DISTINCT text
+        # (shared-exchange consumer re-reads, per-gram work) is invisible
+        # at the standard point — q32's r9 restructure measured −0.6 s
+        # there and −25% here. This mode salts each replica's text with a
+        # unique token (documents only, 50×), the regime a real 100 TB
+        # crawl is in. Only text-family queries are meaningful against it.
+        data_dir = "/root/repo/.scratch/x100_distinct"
+        doc_path = os.path.join(data_dir, "documents.parquet")
+        if not os.path.exists(os.path.join(data_dir, "_OK")):
+            from pyspark.sql import functions as F
+
+            src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            reps_ = [
+                src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+                .withColumn("text", F.concat("text", F.lit(f" replicasalt{i}")))
+                for i in range(50)
+            ]
+            out = reps_[0]
+            for r in reps_[1:]:
+                out = out.unionByName(r)
+            out.write.mode("overwrite").parquet(doc_path)
+            open(os.path.join(data_dir, "_OK"), "w").write("ok")
+    else:
+        bench._build_x10(spark, "/root/testdata/sf0.1", out_dir=X100_DIR, copies=100)
     build_s = round(time.perf_counter() - t0, 1)
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         try:
-            bench.materialize(qs[name].fn(spark, X100_DIR))  # warm: codegen + JIT
+            bench.materialize(qs[name].fn(spark, data_dir))  # warm: codegen + JIT
             best = None
             for _ in range(reps):
                 bench.gc_sweep(spark)  # dead-block cleanup OUT of the window
                 t0 = time.perf_counter()
-                bench.materialize(qs[name].fn(spark, X100_DIR))
+                bench.materialize(qs[name].fn(spark, data_dir))
                 dt = round(time.perf_counter() - t0, 2)
                 best = dt if best is None or dt < best else best
             times[name] = best
@@ -84,7 +115,8 @@ def main() -> None:
 
     out = {
         "metric": "x100_scale_check",
-        "sf": 10.0,
+        "sf": 5.0 if distinct_text else 10.0,
+        "regime": "distinct_text_50x" if distinct_text else "clone_replica_100x",
         "build_s": build_s,
         # Fixed-work session-noise anchor (r7 verdict task 1): lets a future
         # reader classify cross-session drift without re-measuring.
