@@ -558,3 +558,53 @@ def test_datetime_semantics_match_duckdb(spark, rows):
     con.close()
     for i, _, m, nd in data:
         assert list(got[i]) == want[i], (data[i], got[i], want[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=20),
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_string_kernels_match_duckdb(spark, rows):
+    """T-family semantics CROSS-ENGINE on random unicode: the paired
+    substr/lpad/repeat/reverse/replace forms q21's oracle relies on must
+    agree character-for-character on arbitrary text (the fixed vectors in
+    q21 can't cover combining marks, astral-plane chars, or pad-overflow
+    truncation). Both engines index by CODEPOINT, pad/truncate lpad to
+    exactly n chars, and reverse codepoints (not graphemes) — that shared
+    convention is what this pins."""
+    import duckdb
+
+    data = [(i, s, start, ln) for i, (s, start, ln) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i long, s string, st int, ln int")
+    got = {
+        r.i: (r.sub, r.pad, r.rep2, r.rev, r.repl)
+        for r in df.select(
+            "i",
+            F.expr("substring(s, st, ln)").alias("sub"),
+            F.lpad("s", 9, "*").alias("pad"),
+            F.repeat(F.col("s"), 2).alias("rep2"),
+            F.reverse("s").alias("rev"),
+            F.replace(F.col("s"), F.lit("a"), F.lit("@")).alias("repl"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR, st INT, ln INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", data)
+    want = {
+        i: tuple(vals)
+        for i, *vals in con.execute(
+            "SELECT i, substr(s, st, ln), lpad(s, 9, '*'), repeat(s, 2),"
+            " reverse(s), replace(s, 'a', '@') FROM t"
+        ).fetchall()
+    }
+    con.close()
+    for i, s, start, ln in data:
+        assert got[i] == want[i], (s, start, ln, got[i], want[i])
