@@ -61,6 +61,11 @@ def decode_image_real(payload: bytes) -> tuple[int, int, float]:
     ``fake_decode`` stays the oracle tier)."""
     import io
 
+    # Null short-circuit BEFORE the import gate: a None payload yields the
+    # same (0, 0, 0.0) as fake_decode on every environment, with or without
+    # Pillow (r10 advice — the decoders must agree on null semantics).
+    if payload is None:
+        return (0, 0, 0.0)
     try:
         from PIL import Image
     except ImportError as ex:
@@ -68,8 +73,6 @@ def decode_image_real(payload: bytes) -> tuple[int, int, float]:
             "real image decode needs Pillow; use fake_decode (the "
             "deterministic stand-in) where no codec lib is installed"
         ) from ex
-    if payload is None:
-        return (0, 0, 0.0)
     with Image.open(io.BytesIO(payload)) as im:
         gray = im.convert("L")
         width, height = gray.size
@@ -150,12 +153,23 @@ def resize_stub(
     composes in pipelines identically on both tiers."""
     if decoder not in ("none", "real"):
         raise ValueError(f"decoder must be 'none' or 'real', got {decoder!r}")
+    if decoder == "real":
+        # Probe the import DRIVER-side at build time so a missing Pillow is
+        # an immediate, self-explanatory error instead of a raw ImportError
+        # buried in a Python-worker task failure (r10 advice).
+        try:
+            import PIL  # noqa: F401
+        except ImportError as ex:
+            raise NotImplementedError(
+                "real resize needs Pillow; use decoder='none' (pass-through "
+                "plumbing tier) where no codec lib is installed"
+            ) from ex
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "real":
             import io
 
-            from PIL import Image  # worker-side import, gated by caller
+            from PIL import Image  # worker-side import, gated at build time
 
             def resize_png(p):
                 if p is None:

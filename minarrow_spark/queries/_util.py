@@ -29,6 +29,12 @@ def scratch_dir(family: str, sf_dir: str) -> Path:
     if base is None:
         if _FALLBACK_SCRATCH is None:
             _FALLBACK_SCRATCH = tempfile.mkdtemp(prefix="minarrow_scratch_")
+            # The fallback dir holds parquet state/verdict files for the
+            # process lifetime only — reap it at exit (r10 advice: mkdtemp
+            # alone leaked one dir per process run).
+            import atexit
+
+            atexit.register(shutil.rmtree, _FALLBACK_SCRATCH, ignore_errors=True)
         base = _FALLBACK_SCRATCH
     d = Path(base) / family / Path(sf_dir).name
     shutil.rmtree(d, ignore_errors=True)
