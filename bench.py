@@ -238,17 +238,34 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
 
+    # Global anchor FIRST: its warm runs bring the fixed kernel to C2
+    # steady state, so the per-query calibration reps below are cheap
+    # (warm=0) and meaningful.
+    calibration_s = calibration(spark)
+
     # Per-query CONSECUTIVE reps (not round-robin over the set): the
     # steady state being measured is per-query, and interleaving nine
     # other plans between reps evicts codegen/JIT state — q35 measured
     # 2.1s round-robin vs ~1.5-1.7s isolated with identical code. A
     # gc_sweep between queries keeps the previous query's dead checkpoint
     # blocks out of the next one's timed window.
+    #
+    # Self-adjudication (r10 verdict task 4, extending the r9 scale10
+    # protocol to the headline): BENCH_r09's headline read q01/q04/q10
+    # +20% on untouched plan-pinned code while its single global
+    # calibration couldn't arbitrate — only SCALE.md cross-referencing
+    # cleared it as the documented cross-session VM class. Now a per-query
+    # ``calibration`` map (best-of-2 fixed 1e9-i64 sum, taken IMMEDIATELY
+    # before that query's timed reps) rides the JSON: an inflated anchor
+    # next to a slow reading means session heat, a normal one means a
+    # real change.
     times: dict[str, float] = {}
+    cals: dict[str, float] = {}
     for name in names:
         if name in errors:
             continue
         gc_sweep(spark)
+        cals[name] = calibration(spark, reps=2, warm=0)
         for _ in range(5):
             t0 = time.perf_counter()
             try:
@@ -263,7 +280,9 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total",
-        "calibration_s": calibration(spark),
+        "calibration_s": calibration_s,
+        "calibration": cals,
+        "protocol": "per-query gc_sweep + 1 warm + best-of-5; calibration = best-of-2 fixed 1e9-i64 sum taken right before each query's timed reps",
         # a regression that BREAKS a query must not shrink the total into a
         # fake improvement: with any error the headline value is null and
         # the line is flagged incomplete (per-query times stay visible).
