@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from minarrow_spark.operators.similarity import brute_force_topk, cosine_sim
-from minarrow_spark.queries._util import T, par
+from minarrow_spark.queries._util import T, par, scratch_dir
 from minarrow_spark.registry import query
 
 _COS = (
@@ -173,6 +173,39 @@ def _cell_col(col, lo: int, hi: int):
              round(list_cosine_similarity(q.q_vec, cv.emb), 6) AS sim
       FROM pqcand JOIN q ON q.q_id = pqcand.q_id
       JOIN v cv ON cv.vec_id = pqcand.vec_id
+    ),
+    ssub AS (SELECT vec_id, emb, cell FROM v WHERE vec_id % 8 = 0),
+    sbounds AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM ssub),
+    sbatch AS (
+      SELECT s.vec_id, s.emb, s.cell,
+             LEAST(1, ((s.vec_id - b.lo) * 2) // (b.hi - b.lo + 1)) AS batch
+      FROM ssub s CROSS JOIN sbounds b
+    ),
+    sidx AS (
+      SELECT sb.vec_id AS q_id, CAST(sb.batch AS BIGINT) AS vec_id,
+             round(c.lo + c.scale, 6) AS sim,
+             CAST(
+               ((CASE WHEN sb.emb[1] >= 0 THEN 8 ELSE 0 END)
+              + (CASE WHEN sb.emb[2] >= 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN sb.emb[3] >= 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN sb.emb[4] >= 0 THEN 1 ELSE 0 END)) * 1000000
+              + list_sum(list_transform(range(1, 65),
+                         i -> (CAST(c.codes[i] AS BIGINT) + 128) * i))
+             AS BIGINT) AS rank
+      FROM sbatch sb JOIN codes c ON c.vec_id = sb.vec_id
+    ),
+    sscored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_cosine_similarity(q.emb, d.ehat), 6) AS sim
+      FROM sbatch q
+      JOIN sbatch c ON c.cell = q.cell AND c.batch = 0 AND q.batch = 1
+      JOIN deq d ON d.vec_id = c.vec_id
+    ),
+    sann AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+               AS rank
+      FROM sscored
     )
     SELECT 'ivf' AS tier, q_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
     FROM iranked WHERE rank <= 10
@@ -186,8 +219,13 @@ def _cell_col(col, lo: int, hi: int):
            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
                 AS BIGINT) AS rank
     FROM pqrescored
+    UNION ALL
+    SELECT 'sidx' AS tier, q_id, vec_id, sim, rank FROM sidx
+    UNION ALL
+    SELECT 'sann' AS tier, q_id, c_id AS vec_id, sim, CAST(rank AS BIGINT)
+    FROM sann WHERE rank <= 3
     """,
-    tags=("similarity", "ann", "ivf", "quantization"),
+    tags=("similarity", "ann", "ivf", "quantization", "streaming", "ST1"),
 )
 def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN suite: three scale paths for top-10 neighbors of 5 probes, all
@@ -224,7 +262,11 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       no shuffle, no aggregation state (the dim-level join+agg twin is
       kept under MINARROW_PQ_ADC=join; measured in SCALE.md).
 
-    All tiers: probes broadcast; candidate sets are k×probes rows and
+    * tiers 'sidx' + 'sann' — the streaming incremental ANN index
+      (streaming/ann.py) driven through its real at-rest files; see the
+      inline comment at the bottom of this function.
+
+    All batch tiers: probes broadcast; candidate sets are k×probes rows and
     broadcast into the exact re-rank attach; the vector table never
     shuffles."""
     from minarrow_spark.operators.similarity import (
@@ -375,9 +417,76 @@ def q38b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .withColumn("tier", F.lit("pq"))
     )
+
+    # tiers 'sidx' + 'sann' — the streaming incremental ANN index
+    # (streaming/ann.py) exercised through its REAL at-rest files (r10
+    # verdict task 3, on the q34 'fold' precedent): a deterministic 1/8th
+    # id-subset is split into 2 id-range batches (bounds from one min/max
+    # agg — id-ordered arrival is the replay contract) and run through
+    # `ann_writer`'s real probe→top-k→index-append path. The checks are
+    # DIRECT one-shot twins, not batch replays:
+    # * 'sidx' — every at-rest index row (cell, batch, q_offset/q_scale,
+    #   int8 codes) emitted as (vec_id, batch, round(offset+scale, 6),
+    #   cell·10^6 + Σ(code_i+128)·i) and value-checked against the
+    #   oracle's recomputed quantization — the state FILES are the thing
+    #   verified, byte-derived.
+    # * 'sann' — batch 1's streamed neighbor verdicts (top-3 same-cell
+    #   prior-corpus cosines through the quantize→dequantize round-trip)
+    #   against the one-shot SQL twin.
+    # Scale shape: the subset is id-pruned at the scan, each batch's work
+    # is O(new rows × same-cell prior rows / 16 cells), and the index is
+    # int8 at rest — the q38b int8 tier's 4× scan shrink, incrementally
+    # maintained. Replay cost is 2 batches of near-fixed job-boundary
+    # overhead (the q34 r9 lesson: batches cost boundaries, not rows).
+    import os as _os
+
+    from minarrow_spark.streaming.ann import ann_writer
+
+    scratch = scratch_dir("sann", sf_dir)
+    idx_dir, out_dir = str(scratch / "index"), str(scratch / "out")
+    sub = (
+        e.filter(F.col("vec_id") % 8 == 0)
+        .select("vec_id", F.col("emb").cast("array<float>").alias("embedding"))
+        .localCheckpoint(eager=False)  # first touch: the bounds agg (sequential)
+    )
+    lo, hi = sub.agg(F.min("vec_id"), F.max("vec_id")).first()
+    span = hi - lo + 1
+    bexpr = F.expr(f"least(1, ((vec_id - {lo}) * 2) div {span})")
+    writer = ann_writer(idx_dir, out_dir, vec_col="embedding", k=3)
+    writer(sub.filter(bexpr == 0), 0)  # sequential by necessity: batch N probes < N
+    writer(sub.filter(bexpr == 1), 1)
+    checksum = F.expr(
+        "aggregate(zip_with(codes, sequence(1, size(codes)),"
+        " (c, i) -> (cast(c as bigint) + 128) * i), 0L, (a, x) -> a + x)"
+    )
+    sidx = (
+        spark.read.option("basePath", idx_dir)
+        .parquet(idx_dir)
+        .select(
+            F.lit("sidx").alias("tier"),
+            F.col("vec_id").alias("q_id"),
+            F.col("batch").cast("bigint").alias("vec_id"),
+            F.round(F.col("q_offset") + F.col("q_scale"), 6).alias("sim"),
+            (F.conv("cell", 2, 10).cast("bigint") * 1000000 + checksum).alias("rank"),
+        )
+    )
+    sann = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)  # batch=0 is the empty no-prior-index frame
+        .select(
+            F.lit("sann").alias("tier"),
+            "q_id",
+            F.col("c_id").alias("vec_id"),
+            "sim",
+            "rank",
+        )
+    )
+
     return (
         ivf.unionByName(int8)
         .unionByName(pq)
+        .unionByName(sidx)
+        .unionByName(sann)
         .select("tier", "q_id", "vec_id", "sim", "rank")
     )
 
