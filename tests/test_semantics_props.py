@@ -608,3 +608,191 @@ def test_string_kernels_match_duckdb(spark, rows):
     con.close()
     for i, s, start, ln in data:
         assert got[i] == want[i], (s, start, ln, got[i], want[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000_000),  # word count c
+            st.integers(min_value=0, max_value=3),           # group id
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_round6_then_exact_sum_transcendental_matches_duckdb(spark, rows):
+    """The round-to-6-then-exact-decimal-sum transcendental contract (q32's
+    NLL class, r10 verdict task 7a) on hypothesis-generated inputs: for
+    random counts c over group totals n, Spark's
+    ``round(-log(c/n), 6)::decimal(18,6)`` must equal DuckDB's
+    ``round(-ln(c/n), 6)::DECIMAL(18,6)`` PER VALUE, and the grouped
+    decimal sums must be exactly equal. Soundness being pinned: the double
+    quotient c/n is IEEE-identical cross-engine, ln differs by δ ~1e-16
+    relative ≪ the 5e-7 rounding grid, and decimal addition is exact and
+    associative — so the aggregate is bit-reproducible even though it
+    passes through a transcendental. This is the exact expression shape
+    q32's surprisal tier uses (queries/textops.py nll_w)."""
+    import duckdb
+
+    data = [(i, c, g) for i, (c, g) in enumerate(rows)]
+    # group totals n = sum of counts in the group (mirrors q32: word count
+    # over corpus total), guaranteed >= c so the quotient is in (0, 1].
+    totals: dict[int, int] = {}
+    for _, c, g in data:
+        totals[g] = totals.get(g, 0) + c
+    df = spark.createDataFrame(
+        [(i, c, g, totals[g]) for i, c, g in data],
+        "i long, c long, g long, n long",
+    )
+    nll = F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6).cast(
+        "decimal(18,6)"
+    )
+    per_val = {r.i: r.nll for r in df.select("i", nll.alias("nll")).collect()}
+    grp = {
+        r.g: r.s
+        for r in df.select("g", nll.alias("nll"))
+        .groupBy("g")
+        .agg(F.sum("nll").alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, c BIGINT, g BIGINT, n BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?, ?)",
+        [(i, c, g, totals[g]) for i, c, g in data],
+    )
+    want_val = dict(
+        con.execute(
+            "SELECT i, CAST(round(-ln(CAST(c AS DOUBLE) / n), 6)"
+            " AS DECIMAL(18,6)) FROM t"
+        ).fetchall()
+    )
+    want_grp = dict(
+        con.execute(
+            "SELECT g, SUM(CAST(round(-ln(CAST(c AS DOUBLE) / n), 6)"
+            " AS DECIMAL(18,6))) FROM t GROUP BY g"
+        ).fetchall()
+    )
+    con.close()
+    for i, c, g in data:
+        assert per_val[i] == want_val[i], (c, totals[g], per_val[i], want_val[i])
+    for g, s in grp.items():
+        assert s == want_grp[g], (g, s, want_grp[g])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5000),  # value on the 0.01 grid
+            st.integers(min_value=1, max_value=20),    # multiplicity
+            st.integers(min_value=0, max_value=2),     # group id
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+def test_weighted_histogram_equals_per_row_moments(spark, rows):
+    """The weighted-histogram ≡ per-row moments identity (q24's r9
+    derivation, r10 verdict task 7b) on random weighted distributions:
+    grouping to a (group, value, count) histogram FIRST and computing
+    scaled-long moment sums weighted by count must reproduce the per-row
+    scaled-long aggregate BIT-identically (integer addition is
+    associative; the double divides are then identical ops on identical
+    longs) — for avg, sample variance, AND the exact interpolated
+    percentile, which must equal Spark's own all-rows F.percentile. This
+    is the identity that lets q24 replace a full-corpus percentile sort
+    with a ~150-row histogram at 100 TB."""
+    vals = [(g, k / 100.0, w) for k, w, g in rows]
+    expanded = [(g, v) for g, v, w in vals for _ in range(w)]
+    per_row = spark.createDataFrame(expanded, "g long, v double")
+    vc = F.round(F.col("v") * 100).cast("long")
+    vq = F.round(F.col("v") * F.col("v") * 10000).cast("long")
+    nr = F.count(F.lit(1))
+    raw = {
+        r.g: (r.avg, r.var, r.p50, r.p90)
+        for r in per_row.groupBy("g")
+        .agg(
+            ((F.sum(vc) / F.lit(100.0)).cast("double") / nr).alias("avg"),
+            # try_divide: generated groups can be single-row (n-1 == 0),
+            # which q24's real data never is — ANSI would error on bare /
+            F.try_divide(
+                (F.sum(vq) / F.lit(10000.0)).cast("double")
+                - (F.sum(vc) / F.lit(100.0)).cast("double")
+                * (F.sum(vc) / F.lit(100.0)).cast("double")
+                / nr,
+                nr - F.lit(1.0),
+            ).alias("var"),
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+
+    # histogram path: (g, v, qn) rows → count-weighted moment sums +
+    # cum/cumprev interpolated percentiles (the funcs.py q24 shapes)
+    from pyspark.sql import Window as W
+
+    hist = spark.createDataFrame(vals, "g long, v double, qn long")
+    s1 = (F.sum(vc * F.col("qn")) / F.lit(100.0)).cast("double")
+    s2 = (F.sum(vq * F.col("qn")) / F.lit(10000.0)).cast("double")
+    n = F.sum("qn")
+    hmom = {
+        r.g: (r.avg, r.var)
+        for r in hist.groupBy("g")
+        .agg(
+            (s1 / n).alias("avg"),
+            F.try_divide(s2 - s1 * s1 / n, n - F.lit(1.0)).alias("var"),
+        )
+        .collect()
+    }
+    qh = (
+        hist.withColumn(
+            "cum",
+            F.sum("qn").over(
+                W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("nt", F.sum("qn").over(W.partitionBy("g")))
+        .withColumn("cumprev", F.col("cum") - F.col("qn"))
+    )
+
+    def _pct_cols(p: float, alias: str):
+        pos = F.lit(p) * (F.col("nt") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        at = lambda idx: F.max(
+            F.when((F.col("cumprev") <= idx) & (idx < F.col("cum")), F.col("v"))
+        )
+        return [
+            at(lo).alias(f"_{alias}_vlo"),
+            at(hi).alias(f"_{alias}_vhi"),
+            F.first(pos - lo.cast("double")).alias(f"_{alias}_frac"),
+        ]
+
+    def _pct_val(alias: str):
+        vlo, vhi, frac = (
+            F.col(f"_{alias}_vlo"),
+            F.col(f"_{alias}_vhi"),
+            F.col(f"_{alias}_frac"),
+        )
+        return vlo + (vhi - vlo) * frac
+
+    hpct = {
+        r.g: (r.p50, r.p90)
+        for r in qh.groupBy("g")
+        .agg(*_pct_cols(0.5, "m"), *_pct_cols(0.9, "p"))
+        .select(
+            "g", _pct_val("m").alias("p50"), _pct_val("p").alias("p90")
+        )
+        .collect()
+    }
+    for g, (avg, var, p50, p90) in raw.items():
+        assert hmom[g][0] == avg, (g, hmom[g][0], avg)
+        # single-row groups: var is NULL/NaN on both paths
+        if var is None or var != var:
+            assert hmom[g][1] is None or hmom[g][1] != hmom[g][1]
+        else:
+            assert hmom[g][1] == var, (g, hmom[g][1], var)
+        assert hpct[g] == (p50, p90), (g, hpct[g], (p50, p90))
