@@ -230,13 +230,15 @@ def cell_blocked_pairs(
     SCALE.md."""
     if cell_hi == "auto":
         # ONE small stats job (the simhash_dedup precedent): the DISTINCT-
-        # vector count drives collision volume, so the sketch runs over the
+        # vector count drives collision volume, so the sketch runs over an
         # exact-content fingerprint — deterministic for fixed input, hence
         # oracle-stable at every grading SF (see cell_width_auto).
+        # xxhash64 directly on the array, NOT md5 of a string cast: the
+        # cast stringifies 64 doubles per row and measured +2.2 s on q40
+        # at the 100× point (5.79 vs 3.6) for a stat that never needs
+        # cross-engine replay.
         distinct_n = corpus.select(
-            F.approx_count_distinct(
-                F.md5(F.col(vec_col).cast("string"))
-            ).alias("n")
+            F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("n")
         ).first()["n"]
         cell_hi = cell_lo + cell_width_auto(int(distinct_n)) - 1
     # Pair verify is the CPU hot path (every colliding pair pays a full
