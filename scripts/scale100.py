@@ -54,11 +54,28 @@ DEFAULT = (
 )
 
 
+# Clone-free default set: the text + pair families the regime is FOR.
+# q36 is deliberately absent — its 32-bit banding is a measured REFUSAL in
+# this regime (quadratic in distinct-N, ~30+ min at 50×; SCALE.md
+# Clone-free §) — run it explicitly to reproduce the grind.
+DISTINCT_DEFAULT = (
+    "q32_quality_score",
+    "q34_dedup_exact",
+    "q41_decontaminate",
+    "q35_dedup_minhash",
+    "q37_ngram_jaccard",
+    "q39b_lsh_buckets",
+    "q40_embedding_dedup",
+)
+
+
 def main() -> None:
     argv = sys.argv[1:]
     isolated = "--isolated" in argv
     distinct_text = "--distinct-text" in argv
-    names = [a for a in argv if not a.startswith("--")] or list(DEFAULT)
+    names = [a for a in argv if not a.startswith("--")] or list(
+        DISTINCT_DEFAULT if distinct_text else DEFAULT
+    )
     reps = 5 if isolated else 2
     spark = get_spark("minarrow_spark_x100")
     spark.sparkContext.setLogLevel("ERROR")
