@@ -922,6 +922,13 @@ def q37_ngram_jaccard(
     # slim (text-sized rows, NO gram arrays), so the fp pass and the gram
     # pass both read materialized `t` instead of re-running the
     # normalization (the cost that sank the first members restructure).
+    # LAZY (r10): tcorp's single sequential first-toucher is the members
+    # materialization inside the n_distinct count job below — by the time
+    # any other consumer (garr, the narrowed-members rebuild) reads it,
+    # that job has completed, so the lazy fold is the sanctioned
+    # single-toucher case (q35/q41 rule), not a concurrent race. Together
+    # with the lazy members below this deletes two of the three blocking
+    # checkpoint boundaries per run (~0.3 s each of fixed scheduling).
     tcorp = corpus.select(
         "doc_id",
         "t",
@@ -931,7 +938,7 @@ def q37_ngram_jaccard(
         # cannot recover it (integer division is lossy)
         "n_chars",
         (F.col("n_chars") / bucket_chars).cast("bigint").alias("blk"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Stage 2 — members from the slim checkpoint (md5 + window, no arrays).
     # NULL blocking keys are excluded UP FRONT (r5 advisory): the oracle's
     # a.source = b.source equi-join can never pair a NULL-source doc, but
@@ -944,7 +951,11 @@ def q37_ngram_jaccard(
         .select("doc_id", fp_expr.alias("fp"))
         .withColumn("rep", F.min("doc_id").over(W.partitionBy("fp")))
         .select("doc_id", "rep")
-        .localCheckpoint(eager=True)  # slim (two longs/row); 5 consumers
+        # slim (two longs/row); 5 consumers. LAZY (r10): the n_distinct
+        # count right below is the single sequential first toucher — its
+        # one job materializes tcorp AND members together; every later
+        # consumer reads the finished checkpoints.
+        .localCheckpoint(eager=False)
     )
     rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
     # Blocking width AUTO-NARROWS with distinct-content count (r10, the
