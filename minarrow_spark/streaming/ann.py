@@ -80,13 +80,17 @@ def ann_writer(index_dir: str, out_dir: str, vec_col: str = "embedding", k: int 
         from pyspark.sql import Window as W
 
         spark = batch.sparkSession
+        # No checkpoint on probes (r10): it has exactly ONE consumer — the
+        # scored probe join (the index append reads `batch`, not probes) —
+        # so the eager boundary bought nothing and cost a blocking job per
+        # micro-batch (measured ~2.6 s/batch fixed at sf0.1, 5-6 jobs).
         probes = batch.select(
             F.col("vec_id").alias("q_id"),
             F.col(vec_col).cast("array<double>").alias("q_vec"),
             sign_cell(F.col(vec_col).cast("array<double>"), CELL_LO, CELL_HI).alias(
                 "cell"
             ),
-        ).localCheckpoint(eager=True)  # reused: probe join + index append source
+        )
         index = dequantize_embeddings(
             _read_index(spark, index_dir, batch_id), out_col="c_vec"
         ).select("cell", F.col("vec_id").alias("c_id"), "c_vec")
@@ -99,15 +103,30 @@ def ann_writer(index_dir: str, out_dir: str, vec_col: str = "embedding", k: int 
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", "sim", "rank")
         )
-        topk.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        _indexed(
-            batch.select("vec_id", F.col(vec_col).cast("array<float>").alias(vec_col)),
-            vec_col,
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
+        # The two writes are independent (different dirs; the verdict side
+        # reads PRIOR index batches only, the index side appends this
+        # batch) — run them concurrently, the q34/q46 writer pattern.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            fv = pool.submit(
+                lambda: topk.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+            )
+            fs = pool.submit(
+                lambda: _indexed(
+                    batch.select(
+                        "vec_id", F.col(vec_col).cast("array<float>").alias(vec_col)
+                    ),
+                    vec_col,
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+            )
+            fv.result()
+            fs.result()
 
     return write_batch
 
