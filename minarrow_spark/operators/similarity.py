@@ -228,7 +228,7 @@ def cell_blocked_pairs(
     Output is bit-identical either way (pinned by test); measured at the
     100× replica point (1.1M vectors, 100-way clone groups): 115 s → see
     SCALE.md."""
-    if cell_hi == "auto":
+    def _auto_stat() -> int:
         # ONE small stats job (the simhash_dedup precedent): the DISTINCT-
         # vector count drives collision volume, so the sketch runs over an
         # exact-content fingerprint — deterministic for fixed input, hence
@@ -237,10 +237,12 @@ def cell_blocked_pairs(
         # cast stringifies 64 doubles per row and measured +2.2 s on q40
         # at the 100× point (5.79 vs 3.6) for a stat that never needs
         # cross-engine replay.
-        distinct_n = corpus.select(
-            F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("n")
-        ).first()["n"]
-        cell_hi = cell_lo + cell_width_auto(int(distinct_n)) - 1
+        return int(
+            corpus.select(
+                F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("n")
+            ).first()["n"]
+        )
+
     # Pair verify is the CPU hot path (every colliding pair pays a full
     # dim-length cosine): the Arrow-batched numpy form measured 27% faster
     # end-to-end than the interpreted HOF lambda at the 10× point (q40
@@ -249,6 +251,8 @@ def cell_blocked_pairs(
     # a per-callsite measured choice, not a global one.)
     vcos = cosine_sim_arrow(6)
     if not collapse_exact:
+        if cell_hi == "auto":
+            cell_hi = cell_lo + cell_width_auto(_auto_stat()) - 1
         c = corpus.withColumn("cell", sign_cell(F.col(vec_col), cell_lo, cell_hi))
         a = c.select(F.col(id_col).alias("va"), F.col(vec_col).alias("ea"), "cell")
         b = c.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("eb"), "cell")
@@ -262,12 +266,28 @@ def cell_blocked_pairs(
     from pyspark.sql import Window as W
 
     fp = F.md5(F.col(vec_col).cast("string"))
-    members = (
+    members_df = (
         corpus.select(F.col(id_col).alias("id"), fp.alias("fp"))
         .withColumn("rep", F.min("id").over(W.partitionBy("fp")))
         .select("id", "rep")
-        .localCheckpoint(eager=True)  # slim; feeds expansion + dup detection
     )
+    # slim; feeds expansion + dup detection. The members checkpoint and
+    # the width-auto stats job are INDEPENDENT same-width corpus scans, so
+    # they run concurrently (r10 — the q35 members ∥ dsa→sig pattern; job
+    # submission is thread-safe), deleting one blocking boundary from the
+    # build when cell_hi="auto". Neither touches the other's lineage, so
+    # there is no lazy-checkpoint race.
+    if cell_hi == "auto":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as _pool:
+            _fut = _pool.submit(
+                lambda df=members_df: df.localCheckpoint(eager=True)
+            )
+            cell_hi = cell_lo + cell_width_auto(_auto_stat()) - 1
+            members = _fut.result()
+    else:
+        members = members_df.localCheckpoint(eager=True)
     dv = (
         corpus.select(F.col(id_col).alias("id"), fp.alias("fp"), F.col(vec_col).alias("v"))
         .groupBy("fp")
