@@ -16,6 +16,7 @@ here assumes single-file inputs.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,6 +150,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session cache of LOADED PLANS (r10 opt): `spark.read.parquet` costs
+# ~90-130 ms of file listing + footer schema read per call, and every query
+# build pays it per table per run — ~0.33 s of q04's 0.42 s build was three
+# repeat loads. The cache holds the lazy DataFrame (metadata only — no rows,
+# no results; every action still scans parquet), keyed per live session so a
+# new session never sees another's plans, exactly like registering temp
+# views once. Only successful loads are cached, so the contract gate still
+# fires on every bad path, and the two session confs below stay
+# unconditional per call (the r4 order-independence rule).
+_PLAN_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -163,6 +176,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   naive-as-UTC epoch_us.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cache = _PLAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         dt = df.schema["ts"].dataType
@@ -190,6 +208,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # so marked dirs are exempt.
     if not os.path.exists(os.path.join(sf_dir, "_MARKER.json")):
         _check_contract(name, df, table_path(sf_dir, name))
+    cache[key] = df
     return df
 
 

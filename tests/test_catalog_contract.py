@@ -54,6 +54,26 @@ def test_missing_column_fails_loudly(spark):
         load_table(spark, _SCRATCH, "region")
 
 
+def test_plan_cache_repeat_and_failure_semantics(spark):
+    # r10 opt: repeat loads of the same (sf_dir, table) return the cached
+    # lazy plan (the ~100 ms listing+footer read is paid once per session)...
+    df1 = load_table(spark, SF_SMALL, "nation")
+    df2 = load_table(spark, SF_SMALL, "nation")
+    assert df1 is df2
+    # ...equivalent paths share one entry (keyed on abspath)...
+    assert load_table(spark, SF_SMALL + os.sep, "nation") is df1
+    # ...and FAILED loads are never cached: a bad table raises on EVERY
+    # call (the contract gate can't be skipped by a stale entry).
+    bad = (
+        spark.read.parquet(table_path(SF_SMALL, "documents"))
+        .withColumn("n_chars", F.col("n_chars").cast("double"))
+    )
+    bad.write.mode("overwrite").parquet(table_path(_SCRATCH, "documents"))
+    for _ in range(2):
+        with pytest.raises(TypeError, match="n_chars"):
+            load_table(spark, _SCRATCH, "documents")
+
+
 def test_extra_column_is_fine(spark):
     ok = spark.read.parquet(table_path(SF_SMALL, "region")).withColumn(
         "r_comment", F.lit("x")
