@@ -603,10 +603,8 @@ def simhash_hamming_pairs(
     mask = (1 << width) - 1
     # The signature is ONE long, so it rides through the band self-join
     # (unlike q35's arrays, which must attach after): the hamming verify is
-    # then a pure codegen filter ON the join output, BEFORE the distinct —
-    # so the distinct dedups only surviving near-dup pairs instead of every
-    # band collision (~28M collisions vs ~1e5 survivors at the 10× point),
-    # and the two candidate→signature attach joins disappear entirely.
+    # then a pure codegen filter ON the join output — no candidate→signature
+    # attach joins at all.
     bandrows = sig.select(
         "doc_id",
         "simhash",
@@ -632,13 +630,32 @@ def simhash_hamming_pairs(
         F.col("doc_id").alias("db"), F.col("simhash").alias("hb"),
         "band_id", "band_key",
     )
+    # FIRST-BAND OWNERSHIP instead of a trailing `.distinct()` (r10 opt):
+    # a pair colliding in k bands used to surface k times and get deduped
+    # by an extra exchange + agg over every survivor (~503k rows at the
+    # x10 point). Signatures are unique per doc_id (simhash groupBy), so
+    # keeping a pair only in the SMALLEST band index where the two
+    # signatures agree keeps it exactly once — a pure codegen filter on
+    # the already-computed xor, evaluated only on rows that pass the
+    # hamming verify. Same output set (probe-asserted pair-for-pair at
+    # x10), one fewer shuffle: interleaved A/B best 3.36 → 2.84 s on the
+    # redges checkpoint (.scratch/q36_redges_minband_probe.py).
+    first_band = (
+        "CASE "
+        + " ".join(
+            f"WHEN ((x >> {j * width}) & {mask}) = 0 THEN {j}"
+            for j in range(bands)
+        )
+        + " END"
+    )
     return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("da") < F.col("db"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .withColumn("x", F.col("ha").bitwiseXOR(F.col("hb")))
+        .withColumn("hamming", F.bit_count(F.col("x")))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(F.expr(f"band_id = ({first_band})"))
         .select("da", "db", "hamming")
-        .distinct()
     )
 
 
