@@ -659,10 +659,29 @@ def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact at-index semantics with NO single-reducer window, so the suite
     keeps its meaning at fact scale (where a range filter on the sort key
     additionally partition-prunes, as the docstrings note)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from minarrow_spark.operators.ranking import global_ranks
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranked = global_ranks(o, [F.col("o_orderkey")], rank_col="rn")
+    s = T(spark, sf_dir, "supplier")
+    # The two global_ranks calls each run an eager range-repartition
+    # checkpoint (a blocking job) and are lineage-independent (orders vs
+    # supplier), so they submit CONCURRENTLY (r10 opt — the q35/q40
+    # same-width overlap pattern: both are small repartition jobs, not the
+    # q34 wide-vs-tiny FIFO case); one job boundary's wall-clock disappears.
+    with ThreadPoolExecutor(2) as _pool:
+        _f_ranked = _pool.submit(
+            global_ranks, o, [F.col("o_orderkey")], rank_col="rn"
+        )
+        _f_numbered = _pool.submit(
+            global_ranks,
+            s.select("s_acctbal", "s_suppkey"),
+            [F.col("s_suppkey")],
+            rank_col="rn",
+        )
+        ranked = _f_ranked.result()
+        numbered = _f_numbered.result().drop("s_suppkey")
     slice_rows = ranked.filter(F.col("rn").between(101, 110)).select(
         F.lit("slice").alias("op"),
         F.col("o_orderkey").alias("key"),
@@ -675,10 +694,6 @@ def q19_slice_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("n"),
         F.col("o_totalprice").alias("val"),
     )
-    s = T(spark, sf_dir, "supplier")
-    numbered = global_ranks(
-        s.select("s_acctbal", "s_suppkey"), [F.col("s_suppkey")], rank_col="rn"
-    ).drop("s_suppkey")
     split_rows = (
         numbered.withColumn(
             "part_id",
