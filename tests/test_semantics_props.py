@@ -701,8 +701,10 @@ def test_weighted_histogram_equals_per_row_moments(spark, rows):
     scaled-long moment sums weighted by count must reproduce the per-row
     scaled-long aggregate BIT-identically (integer addition is
     associative; the double divides are then identical ops on identical
-    longs) — for avg, sample variance, AND the exact interpolated
-    percentile, which must equal Spark's own all-rows F.percentile. This
+    longs) for avg and sample variance, and the exact interpolated
+    percentile must equal Spark's own all-rows F.percentile at the
+    round-6 output contract (the interpolation op orders differ by
+    1-2 ulp — see the inline note at the assertion). This
     is the identity that lets q24 replace a full-corpus percentile sort
     with a ~150-row histogram at 100 TB."""
     vals = [(g, k / 100.0, w) for k, w, g in rows]
@@ -795,4 +797,14 @@ def test_weighted_histogram_equals_per_row_moments(spark, rows):
             assert hmom[g][1] is None or hmom[g][1] != hmom[g][1]
         else:
             assert hmom[g][1] == var, (g, hmom[g][1], var)
-        assert hpct[g] == (p50, p90), (g, hpct[g], (p50, p90))
+        # Percentiles compare at the round-6 OUTPUT contract, not raw:
+        # q24 ships round(vlo + (vhi - vlo) * frac, 6) against the
+        # oracle's round(quantile_cont, 6), while F.percentile
+        # interpolates (1 - d) * lo + d * hi — the two IEEE op orders
+        # differ by 1-2 ulp on adversarial inputs (hypothesis found
+        # lo=0.01, hi=2.02, d=0.5: 1.0150000000000001 vs 1.015), which
+        # round-6 absorbs exactly as it does for transcendentals.
+        assert (round(hpct[g][0], 6), round(hpct[g][1], 6)) == (
+            round(p50, 6),
+            round(p90, 6),
+        ), (g, hpct[g], (p50, p90))
