@@ -73,39 +73,49 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ANY partitioning (integer sums are exact and commutative); the salt
     only routes rows, so rand() is safe. The extra stage shuffles
     6×1024 partial rows — noise."""
+    # Expressions as SQL STRINGS (r10 opt — the r8 q36 build-cut pattern):
+    # the Column-operator form made ~130 py4j round-trips per build,
+    # 0.19 s/run on a headline query; this form parses in 0.055 s with
+    # bit-identical values (asserted group-for-group) and the same
+    # optimized plan modulo expression placement (the scaled longs sit in
+    # an explicit Project — Catalyst fuses it into the partial agg's
+    # codegen stage either way).
     l = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
-    tax_bp = F.round(F.col("l_tax") * 100).cast("long")
-    disc_e4 = price_c * (100 - disc_bp)
-    charge_e6 = disc_e4 * (100 + tax_bp)
     partial = (
-        l.withColumn("__salt", (F.rand() * 1024).cast("int"))
+        l.selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "CAST(rand() * 1024 AS INT) AS __salt",
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_e4",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            " * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge_e6",
+            "CAST(round(l_discount * 100) AS BIGINT) AS disc_bp",
+        )
         .groupBy("l_returnflag", "l_linestatus", "__salt")
         .agg(
-            F.sum(qty_c).alias("qty_c"),
-            F.sum(price_c).alias("price_c"),
-            F.sum(disc_e4).alias("disc_e4"),
-            F.sum(charge_e6).alias("charge_e6"),
-            F.sum(disc_bp).alias("disc_bp"),
-            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(qty_c) AS qty_c"),
+            F.expr("sum(price_c) AS price_c"),
+            F.expr("sum(disc_e4) AS disc_e4"),
+            F.expr("sum(charge_e6) AS charge_e6"),
+            F.expr("sum(disc_bp) AS disc_bp"),
+            F.expr("count(1) AS n"),
         )
     )
-    d38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))
-    return (
-        partial.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            (d38("qty_c") / 100).cast("double").alias("sum_qty"),
-            (d38("price_c") / 100).cast("double").alias("sum_base_price"),
-            (d38("disc_e4") / 10000).cast("double").alias("sum_disc_price"),
-            (d38("charge_e6") / 1000000).cast("double").alias("sum_charge"),
-            ((d38("qty_c") / 100).cast("double") / F.sum("n")).alias("avg_qty"),
-            ((d38("disc_bp") / 100).cast("double") / F.sum("n")).alias("avg_disc"),
-            F.sum("n").alias("count_order"),
-        )
+    d38 = "sum(CAST({c} AS DECIMAL(38,0)))"
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(f"CAST({d38.format(c='qty_c')} / 100 AS DOUBLE) AS sum_qty"),
+        F.expr(f"CAST({d38.format(c='price_c')} / 100 AS DOUBLE) AS sum_base_price"),
+        F.expr(f"CAST({d38.format(c='disc_e4')} / 10000 AS DOUBLE) AS sum_disc_price"),
+        F.expr(f"CAST({d38.format(c='charge_e6')} / 1000000 AS DOUBLE) AS sum_charge"),
+        F.expr(f"CAST({d38.format(c='qty_c')} / 100 AS DOUBLE) / sum(n) AS avg_qty"),
+        F.expr(f"CAST({d38.format(c='disc_bp')} / 100 AS DOUBLE) / sum(n) AS avg_disc"),
+        F.expr("sum(n) AS count_order"),
     )
 
 
