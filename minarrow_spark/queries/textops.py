@@ -827,55 +827,13 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       positives on doc_id mod 7/11/13); per-source match counts plus the
       min-md5 of the redacted text (byte-identical-redaction proof).
 
-    ONE documents scan feeds the accounting AND pii tiers (fused r10: both
-    group by source, so the pii per-row work rides the accounting window's
-    exchange and its groupBy); the token explode feeds tf and df aggs with
-    map-side combine; per-source results join broadcast.
+    One documents scan feeds the accounting branch; the token explode feeds
+    tf and df aggs with map-side combine; per-source results join broadcast.
     """
-    from minarrow_spark.functions.text import pii_counts, redact_pii
     from minarrow_spark.operators.sampling import hash_key, hex_threshold
 
     d = par(T(spark, sf_dir, "documents"))
     fp = fingerprint(F.col("text"))
-    # PII tier FUSED into the accounting scan (r10 opt): the tier's per-row
-    # work (3 regex counts + redacted md5 over the injected corpus) used to
-    # run in its own full text scan + its own groupBy(source); both aggs
-    # group by source, so the pii measures ride the accounting window's
-    # source exchange and its single groupBy instead — one fewer full text
-    # scan, one fewer exchange. Measured at the x10 point (alternating-order
-    # interleave, .scratch/q33_fusion_probe.py): 3.14-3.82 → 2.88-3.06 s,
-    # outputs identical per source. The agg stays narrow (longs + 2 string
-    # mins + ONE countDistinct — far from the q52 codegen cliff). The
-    # sibling tf/dfreq explode fusion was measured the same way and REFUSED
-    # (wash at sf0.1, slight loss at x10 — the (term, doc_id) pre-agg's
-    # reduce-side re-read eats the saved explode).
-    did = F.col("doc_id")
-    injected = F.concat(
-        F.col("text"),
-        F.when(
-            did % 7 == 0,
-            F.concat(
-                F.lit(" contact u"), did.cast("string"), F.lit("@example.com now")
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 11 == 0,
-            F.concat(
-                F.lit(" call 415-555-"),
-                F.lpad((did % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 13 == 0,
-            F.concat(
-                F.lit(" host 10.0."),
-                (did % 256).cast("string"),
-                F.lit("."),
-                (did % 97).cast("string"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    cts = pii_counts(injected)
     base = d.select(
         "source",
         "doc_id",
@@ -884,10 +842,6 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_key(F.col("doc_id"), "s1").alias("h_s"),
         hash_key(F.col("doc_id"), "split").alias("h_t"),
         hash_key(F.col("doc_id"), "q").alias("h_q"),
-        cts["n_emails"].alias("n_em"),
-        cts["n_phones"].alias("n_ph"),
-        cts["n_ips"].alias("n_ip"),
-        F.md5(redact_pii(injected)).alias("rfp"),
     )
     in_sample = F.col("h_s") < F.lit(hex_threshold(_Q33_SAMPLE_FRAC))
     in_test = F.col("h_t") < F.lit(hex_threshold(_Q33_TEST_FRAC))
@@ -907,17 +861,6 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("qr") <= _Q33_QUOTA, F.col("n_chars")).otherwise(0))
             .cast("bigint")
             .alias("quota_chars"),
-            F.sum("n_em").cast("bigint").alias("n_emails"),
-            F.sum("n_ph").cast("bigint").alias("n_phones"),
-            F.sum("n_ip").cast("bigint").alias("n_ips"),
-            F.sum(
-                F.when(F.col("n_em") + F.col("n_ph") + F.col("n_ip") > 0, 1).otherwise(
-                    0
-                )
-            )
-            .cast("bigint")
-            .alias("n_pii_docs"),
-            F.min("rfp").alias("pii_min_fp"),
         )
     )
     tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
@@ -945,32 +888,67 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r") == 1, F.col("tfidf"))).alias("top_tfidf"),
     )
 
-    # PII tier semantics unchanged (deterministic synthetic PII injected:
-    # emails on doc_id%7, phones on %11, IPv4 on %13; detect + redact via
-    # the shared regex contract, min-md5 proves byte-identical redaction) —
-    # computed inside the accounting pass above since the r10 fusion. The
-    # final select restores the oracle's column order (the fused agg puts
-    # the pii measures before top_terms).
-    return (
-        acc.join(F.broadcast(tops), "source")
+    # PII tier: deterministic synthetic PII injected (emails on doc_id%7,
+    # phones on %11, IPv4 on %13 — the known-positive population the scrub
+    # must catch), then detect + redact via the shared regex contract
+    # (functions/text.py PII_*). Counts sum per source; min-md5 of the
+    # redacted text proves the redaction itself is byte-identical
+    # cross-engine, not just the counts. One codegen'd projection, one
+    # map-side-combined agg — no shuffle beyond the per-source rollup.
+    from minarrow_spark.functions.text import pii_counts, redact_pii
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 97).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    cts = pii_counts(F.col("t"))
+    pii = (
+        d.select("source", injected.alias("t"))
         .select(
             "source",
-            "n_docs",
-            "n_unique",
-            "min_fp",
-            "n_sample",
-            "sample_chars",
-            "n_test",
-            "quota_chars",
-            "top_terms",
-            "top_tfidf",
-            "n_emails",
-            "n_phones",
-            "n_ips",
-            "n_pii_docs",
-            "pii_min_fp",
+            cts["n_emails"].alias("n_em"),
+            cts["n_phones"].alias("n_ph"),
+            cts["n_ips"].alias("n_ip"),
+            F.md5(redact_pii(F.col("t"))).alias("rfp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_em").cast("bigint").alias("n_emails"),
+            F.sum("n_ph").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum(
+                F.when(F.col("n_em") + F.col("n_ph") + F.col("n_ip") > 0, 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_pii_docs"),
+            F.min("rfp").alias("pii_min_fp"),
         )
     )
+    return acc.join(F.broadcast(tops), "source").join(F.broadcast(pii), "source")
 
 
 @query(
