@@ -156,7 +156,20 @@ def _build_x10(
         json.dump(build_sig, fh)
 
 
-def _run_x10(spark, qs, sf: float) -> dict:
+def _hot_anchor(cal: float, cals: dict, global_cal: float) -> bool:
+    """True when a per-query calibration anchor reads >1.5× the session's
+    BEST anchor so far (r11, VERDICT r10 task 2): the r10 driver artifact
+    showed two >10% headline "regressions" on untouched code, adjudicated
+    only by calibration arithmetic after the fact. A hot anchor now triggers
+    ONE extra recalibrated rep block inside the run itself, so the artifact
+    self-corrects. Relative to the session's own best anchor — not an
+    absolute band — so the rule is core-count-agnostic (the fixed kernel
+    reads ~2× slower at 8 cores; a constant threshold would retry always)."""
+    band = min([global_cal] + list(cals.values()))
+    return cal > 1.5 * band
+
+
+def _run_x10(spark, qs, sf: float, global_cal: float) -> dict:
     """Self-adjudicating scale10 block (r9 verdict task 2): BENCH_r08's
     39.3 s vs r07's 28.3 read as a 39% regression and was one new tier
     plus documented in-sweep VM noise — evidence a grader could only find
@@ -168,6 +181,7 @@ def _run_x10(spark, qs, sf: float) -> dict:
     real regression shows a normal one."""
     times: dict[str, float] = {}
     cals: dict[str, float] = {}
+    retries: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in _X10_QUERIES:
         try:
@@ -182,14 +196,26 @@ def _run_x10(spark, qs, sf: float) -> dict:
                 gc_sweep(spark)
             # Per-query noise anchor, same fixed work as the headline
             # calibration_s (kernel already C2-hot from main's call).
-            cals[name] = calibration(spark, reps=2, warm=0)
-            best = None
-            for _ in range(3):
-                t0 = time.perf_counter()
-                materialize(qs[name].fn(spark, _X10_DIR))
-                dt = round(time.perf_counter() - t0, 3)
-                best = dt if best is None or dt < best else best
-                gc_sweep(spark)
+            cal = calibration(spark, reps=2, warm=0)
+            cals[name] = cal
+
+            def _block() -> float:
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    materialize(qs[name].fn(spark, _X10_DIR))
+                    dt = round(time.perf_counter() - t0, 3)
+                    best = dt if best is None or dt < best else best
+                    gc_sweep(spark)
+                return best
+
+            best = _block()
+            # Hot-anchor self-correction (r11): one extra recalibrated
+            # block when this query's anchor read >1.5× the session's
+            # best — see _hot_anchor.
+            if _hot_anchor(cal, cals, global_cal):
+                retries[name] = calibration(spark, reps=2, warm=0)
+                best = min(best, _block())
             times[name] = best
         except Exception as ex:  # noqa: BLE001 — secondary tier, never fatal
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
@@ -198,8 +224,10 @@ def _run_x10(spark, qs, sf: float) -> dict:
         "value": round(sum(times.values()), 3) if not errors else None,
         "queries": times,
         "calibration": cals,
-        "protocol": "per-query gc_sweep + 2 warm + best-of-3; calibration = best-of-2 fixed 1e9-i64 sum taken right before each query's timed reps",
+        "protocol": "per-query gc_sweep + 2 warm + best-of-3; calibration = best-of-2 fixed 1e9-i64 sum taken right before each query's timed reps; anchors >1.5x the session best take one extra recalibrated block (best-of-all, retry anchor in calibration_retry)",
     }
+    if retries:
+        out["calibration_retry"] = retries
     if errors:
         out["errors"] = errors
         out["incomplete"] = True
@@ -261,11 +289,9 @@ def main() -> None:
     # real change.
     times: dict[str, float] = {}
     cals: dict[str, float] = {}
-    for name in names:
-        if name in errors:
-            continue
-        gc_sweep(spark)
-        cals[name] = calibration(spark, reps=2, warm=0)
+    retries: dict[str, float] = {}
+
+    def _rep_block(name: str) -> None:
         for _ in range(5):
             t0 = time.perf_counter()
             try:
@@ -278,11 +304,28 @@ def main() -> None:
             if name not in times or dt < times[name]:
                 times[name] = dt
 
+    for name in names:
+        if name in errors:
+            continue
+        gc_sweep(spark)
+        cal = calibration(spark, reps=2, warm=0)
+        cals[name] = cal
+        _rep_block(name)
+        # Hot-anchor self-correction (r11, see _hot_anchor): one extra
+        # recalibrated best-of-5 block when this query's anchor read
+        # >1.5× the session's best anchor — the r10 artifact's q35/q45
+        # "regressions" were exactly this class.
+        if name not in errors and _hot_anchor(cal, cals, calibration_s):
+            gc_sweep(spark)
+            retries[name] = calibration(spark, reps=2, warm=0)
+            _rep_block(name)
+
     out = {
         "metric": "headline_queries_total",
         "calibration_s": calibration_s,
         "calibration": cals,
-        "protocol": "per-query gc_sweep + 1 warm + best-of-5; calibration = best-of-2 fixed 1e9-i64 sum taken right before each query's timed reps",
+        **({"calibration_retry": retries} if retries else {}),
+        "protocol": "per-query gc_sweep + 1 warm + best-of-5; calibration = best-of-2 fixed 1e9-i64 sum taken right before each query's timed reps; anchors >1.5x the session best take one extra recalibrated block (best-of-all, retry anchor in calibration_retry)",
         # a regression that BREAKS a query must not shrink the total into a
         # fake improvement: with any error the headline value is null and
         # the line is flagged incomplete (per-query times stay visible).
@@ -297,7 +340,7 @@ def main() -> None:
 
     try:
         _build_x10(spark, sf_dir)
-        out["scale10"] = _run_x10(spark, qs, sf)
+        out["scale10"] = _run_x10(spark, qs, sf, calibration_s)
     except Exception as ex:  # noqa: BLE001 — secondary tier, never fatal
         out["scale10"] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
 
