@@ -592,6 +592,12 @@ def simhash_hamming_pairs(
     shared band, so recall at ``max_hamming`` < bands is exact, not
     probabilistic); verify bit_count(xor) ≤ max_hamming on candidates only.
 
+    PRECONDITION: ``sig`` must carry exactly one row per doc_id (what
+    :func:`simhash` emits — it ends in a groupBy(doc_id)). The first-band
+    ownership filter below emits each qualifying PAIR exactly once only
+    under that uniqueness; duplicate input rows would surface duplicated
+    pairs (the pre-r10 trailing ``.distinct()`` silently absorbed them).
+
     Scale shape: band rows are (doc_id, band_id, band_key) — integers only;
     the self-join is an equi-join on the band key (the q35/q39b LSH shape),
     candidates join back to the 2-column signature table. Band width

@@ -159,7 +159,24 @@ def table_path(sf_dir: str, name: str) -> str:
 # views once. Only successful loads are cached, so the contract gate still
 # fires on every bad path, and the two session confs below stay
 # unconditional per call (the r4 order-independence rule).
+#
+# The key also carries the parquet path's (mtime_ns, size) signature (r11,
+# ADVICE): a table regenerated mid-session (testdata regen, .scratch clone
+# corpora) changes the directory's stat, so the stale plan — whose frozen
+# file index would fail on deleted part files or silently read the old
+# schema — misses the cache and the load re-runs the contract gate.
 _PLAN_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _path_sig(path: str) -> tuple[int, int]:
+    """Cheap regen-detection signature for a parquet file/dir: a rewrite
+    replaces the directory entry, bumping mtime (one µs-scale os.stat —
+    noise next to the ~100 ms load it guards)."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, -1)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -177,7 +194,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cache = _PLAN_CACHE.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    path = table_path(os.path.abspath(sf_dir), name)
+    key = (path, name, _path_sig(path))
     cached = cache.get(key)
     if cached is not None:
         return cached
