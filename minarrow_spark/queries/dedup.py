@@ -280,9 +280,23 @@ def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (bounds + batch slices) would otherwise each re-scan
     # and re-augment the FULL corpus — measured 22.8 s at 100× from
     # exactly that, vs one slim subset-sized materialization.
+    # The %16 filter is hand-pushed BELOW the augment explode (r11):
+    # every variant offset is ≡ 0 mod 16 (the co-selection property the
+    # subset already relies on, above), so filtering the BASE rows first
+    # and re-applying the same variant expressions yields the identical
+    # row multiset while building variant structs for 1/16th of the
+    # corpus — Catalyst cannot push a post-explode filter through the
+    # generator itself.
     scorpus = (
-        corpus.filter(F.col("doc_id") % 16 == 0)
-        .select("doc_id", "text")
+        d.filter(F.col("doc_id") % 16 == 0)
+        .select(
+            F.explode(
+                F.array_compact(
+                    F.array(base, copy_v, dirty_v, composed_v, decomposed_v)
+                )
+            ).alias("v")
+        )
+        .select("v.doc_id", "v.text")
         .localCheckpoint(eager=False)
     )
     lo, hi = scorpus.agg(F.min("doc_id"), F.max("doc_id")).first()
@@ -688,6 +702,16 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consume the banded self-join — concurrent first touch would run it
     # twice (the q35 rule)
     redges = simhash_hamming_pairs(sig, bits=32, bands=4, max_hamming=3)
+    # MEASURED REFUSAL (r11): a partition FLOOR on this checkpoint
+    # (repartition(defaultParallelism, da, db) so the CC/PR loop scans
+    # aren't single-task after AQE coalesces the ~503k-row table to ONE
+    # partition) LOSES badly — 3-rep interleaved probe
+    # (.scratch/q36_cc_floor_probe.py): CC best 2.34→5.33 s, PR best
+    # 1.36→2.69 s at x10. 32 tiny tasks per loop job is pure scheduling
+    # overhead at this size; AQE's one-partition coalesce is the right
+    # call, and a genuinely large edge table never coalesces to 1 in the
+    # first place (64 MB advisory target), so there is no at-scale case
+    # the floor fixes.
     redges = redges.localCheckpoint(eager=True)
 
     # The components fixpoint and the pagerank BSP loop are independent
