@@ -147,18 +147,18 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
-    # DOUBLE-STEP rounds (r7 verdict: ~60% of q36's 100× cost was fixed
-    # job-boundary/loop cost): each BLOCKING round runs TWO propagation
-    # steps and counts the diff between them — one Spark job per two
-    # steps, so a k-step fixpoint costs ceil(k/2) blocking actions
+    # MULTI-STEP rounds (r7 verdict: ~60% of q36's 100× cost was fixed
+    # job-boundary/loop cost): each BLOCKING round runs several propagation
+    # steps and counts the diff between the last two — one Spark job per
+    # round, so a k-step fixpoint costs ceil(k/steps) blocking actions
     # instead of k. Convergence stays sound by lattice monotonicity:
-    # labels only decrease (own label is in every min), so p2 == p1
-    # pointwise forces propagate(p1) == p1, i.e. p1 IS the fixpoint.
-    # Both lazy checkpoints are first-touched inside the single changed-
-    # count job (p1 is persisted on first compute, so its two consumers
-    # — p2's join and the diff join — share one evaluation).
+    # labels only decrease (own label is in every min), so p_last == cur
+    # pointwise forces propagate(cur) == cur, i.e. cur IS the fixpoint.
+    # The lazy checkpoints are first-touched inside the single changed-
+    # count job (each step is persisted on first compute, so its
+    # consumers share one evaluation).
     #
-    # POINTER-JUMP between the two propagates (r10): label(v) ←
+    # POINTER-JUMP between propagates (r10): label(v) ←
     # label(label(v)) on the label table alone — a vertex-sized broadcast
     # self-join, no edge scan — doubles the label's reach along id-
     # descending chains, so a round covers ~(2R+3) hops instead of (R+2)
@@ -172,12 +172,11 @@ def connected_components(
     # propagate-fixpoint ⟹ labels are component minima (r10: measured
     # q36 x10 CC 4 blocking rounds → 2, ~10 fewer jobs; the jump join
     # runs on the n-row label table, so it stays cheap at any scale).
-    for _ in range((max_iter + 1) // 2):
-        p1 = _propagate(labels).localCheckpoint(eager=False)
-        jumped = (
-            p1.join(
+    def _jump(p: DataFrame) -> DataFrame:
+        return (
+            p.join(
                 _maybe_broadcast(
-                    p1.select(
+                    p.select(
                         F.col("id").alias("component"),
                         F.col("component").alias("_c2"),
                     ),
@@ -188,26 +187,43 @@ def connected_components(
             .select("id", F.col("_c2").alias("component"))
             .localCheckpoint(eager=False)
         )
-        p2 = _propagate(jumped).localCheckpoint(eager=False)
+
+    # TRIPLE-STEP rounds (r11, extending the r10 double-step): each
+    # blocking round runs propagate → jump → propagate → jump → propagate
+    # and counts the diff between the LAST propagate and its input — one
+    # Spark job per three propagate steps. Per-round reach grows
+    # r → 4r + 7 (two jumps double twice), so the dup-shaped graphs that
+    # needed 2 blocking rounds under the double-step (q36 x10: changed
+    # 4788 → 986 → 27 → 0 single-step) converge in ONE round + nothing:
+    # the round's own trailing diff doubles as the fixpoint proof.
+    # Soundness is unchanged in kind: labels only decrease through both
+    # propagate (own label is in every min) and jump (maps through a
+    # component-preserving table), and changed == 0 still literally proves
+    # propagate(j) == j for the table returned.
+    for _ in range((max_iter + 2) // 3):
+        cur = labels
+        for _s in range(2):
+            cur = _jump(_propagate(cur).localCheckpoint(eager=False))
+        p_last = _propagate(cur).localCheckpoint(eager=False)
         changed = (
-            p2.join(
+            p_last.join(
                 _maybe_broadcast(
-                    jumped.withColumnRenamed("component", "old"), n
+                    cur.withColumnRenamed("component", "old"), n
                 ),
                 "id",
             )
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels = p2
+        labels = p_last
         if changed == 0:
             return labels
-    # Each blocking round ran two propagates plus a jump; report the
+    # Each blocking round ran three propagates plus two jumps; report the
     # propagate-step budget (the guard's contract is "diameter exceeds
     # budget", and jumping only ever accelerates convergence).
     raise RuntimeError(
         f"connected_components did not converge in "
-        f"{2 * ((max_iter + 1) // 2)} propagate steps (+pointer jumps) "
+        f"{3 * ((max_iter + 2) // 3)} propagate steps (+pointer jumps) "
         "(graph diameter exceeds budget)"
     )
 
