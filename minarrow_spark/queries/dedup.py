@@ -623,7 +623,12 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixed floor. A groupBy(fp)+broadcast-back join was measured and
     # REFUSED at the 100× point (2.2→2.9 s): it re-runs the corpus
     # augment + md5 pass twice (build + probe), which costs more than the
-    # window's one full-row shuffle saves.
+    # window's one full-row shuffle saves. Re-refused r11 in the
+    # CLONE-FREE regime (VERDICT task 4; .scratch/q36_members_probe.py,
+    # interleaved members-stage A/B): singleton fp groups make the
+    # groupBy output ~n rows — no broadcast possible, the join back is a
+    # second full shuffle — window wins every pair (0.44 vs 0.48–0.72 s
+    # clone-free x10; 0.86 vs 1.04 s clone-degenerate).
     fpw = W.partitionBy("fp")
     members = (
         corpus.select("doc_id", F.md5("text").alias("fp"))

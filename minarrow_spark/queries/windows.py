@@ -51,36 +51,36 @@ def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three window specs share the o_custkey partition → ONE shuffle, sorts
     within partitions (pinned in tests/test_plans.py)."""
     o = T(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    wr = W.partitionBy("o_custkey").orderBy("o_orderstatus")
-    wc = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    ws = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(wr).alias("status_rank"),
-            # Scaled-long running sum (cents), NOT a decimal window agg: the
-            # per-row BigDecimal churn of a decimal cumulative frame over
-            # 15M rows measured 1.8-27s erratic (GC storms) at the 10×
-            # bench point vs 0.7s stable for the long form. Σcents per
-            # customer stays far under long range at any real scale, and
-            # long/100.0 is the correctly-rounded double of the same exact
-            # value the oracle's decimal sum produces.
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wc)
-                / 100.0
-            ).alias("running_spend"),
-            F.row_number().over(ws).cast("bigint").alias("order_seq"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+    # Window expressions as SQL strings (r11 — the q01/q04 build-cut
+    # pattern, mechanical transcription of the Column/WindowSpec form):
+    # same plan (three specs still share the o_custkey partition → ONE
+    # shuffle, pinned in tests/test_plans.py), ~130 fewer py4j round-trips
+    # per build on a headline query (~0.2 s → ~0.03 s, paid every rep).
+    return o.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_totalprice DESC, o_orderkey) AS rn",
+        "rank() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderstatus) AS status_rank",
+        # Scaled-long running sum (cents), NOT a decimal window agg: the
+        # per-row BigDecimal churn of a decimal cumulative frame over
+        # 15M rows measured 1.8-27s erratic (GC storms) at the 10×
+        # bench point vs 0.7s stable for the long form. Σcents per
+        # customer stays far under long range at any real scale, and
+        # long/100.0 is the correctly-rounded double of the same exact
+        # value the oracle's decimal sum produces.
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
+        " PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        # divisor as an explicit DOUBLE: a bare 100.0 literal is
+        # DECIMAL(4,1) in SQL and would flip the division (and the output
+        # column) to decimal — the Column form's Python float was double
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " / CAST(100.0 AS DOUBLE) AS running_spend",
+        "CAST(row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq",
+    ).filter(F.col("rn") <= 3)
 
 
 @query(

@@ -64,6 +64,28 @@ def test_long_chain_converges(spark):
     assert len(rows) == 21
 
 
+def test_triple_step_round_internals(spark):
+    # Focused pins for the r11 triple-step rounds (propagate→jump→
+    # propagate→jump→propagate per blocking round).
+    # (a) In-round fixpoint proof: a clique converges inside ONE round's
+    # budget (max_iter=3 → 1 round) because the round's own trailing diff
+    # doubles as the fixpoint check — no extra round may be required.
+    clique = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    df = spark.createDataFrame(clique, "src BIGINT, dst BIGINT")
+    rows = connected_components(df, max_iter=3).collect()
+    assert {r["component"] for r in rows} == {10}
+    assert len(rows) == 5
+    # (b) Jump-accelerated reach: a 30-node path (diameter 29) must
+    # converge within 3 blocking rounds (max_iter=9) — per-round reach
+    # grows ~r→4r+7 (≥35 hops after two rounds), with the third round
+    # proving the fixpoint; plain propagation would need 29 steps.
+    path = [(i, i + 1) for i in range(29)]
+    df = spark.createDataFrame(path, "src BIGINT, dst BIGINT")
+    rows = connected_components(df, max_iter=9).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 30
+
+
 def test_max_iter_guard(spark):
     edges = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
