@@ -108,6 +108,20 @@ def floordiv_int(a: Column, b: Column) -> Column:
     return F.when(b == 0, F.lit(None).cast("long")).otherwise(q - adj)
 
 
+def floordiv_int_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`floordiv_int` — the SAME expression tree,
+    emitted as Spark SQL for builders on the bench-timed path (the q01/q10
+    SQL-string build cut: one parse round-trip instead of ~10 py4j Column
+    ops per call site). The floor-division contract stays single-sourced in
+    this module; tests/test_semantics_props.py pins the two forms value-
+    and schema-identical over the signed/zero-divisor domain."""
+    return (
+        f"CASE WHEN ({b}) = 0 THEN CAST(NULL AS BIGINT) "
+        f"ELSE (({a}) div ({b})) - (CASE WHEN (({a}) % ({b})) != 0 "
+        f"AND ((({a}) < 0) != (({b}) < 0)) THEN 1 ELSE 0 END) END"
+    )
+
+
 def remainder(a: Column, b: Column) -> Column:
     """C-style remainder (dividend sign), null on zero divisor."""
     return F.when(b == 0, F.lit(None)).otherwise(a % b)

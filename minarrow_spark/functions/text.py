@@ -58,6 +58,21 @@ def token_count(text: Column) -> Column:
     ).cast("bigint")
 
 
+def token_count_sql(text: str) -> str:
+    """SQL-string twin of :func:`token_count` (build-cost cut for bench-timed
+    builders, the q01/q10 pattern). The whitespace contract stays single-
+    sourced: the regex is THIS module's ``WS``, backslash-escaped so the
+    Spark SQL parser reproduces the byte-identical pattern string the Column
+    form passes (a bare ``\\t`` in a SQL literal would become a literal tab —
+    same regex semantics but a different pattern byte sequence). Twin
+    equivalence pinned in tests/test_semantics_props.py."""
+    ws = WS.replace("\\", "\\\\")
+    return (
+        f"CAST(CASE WHEN trim({text}) = '' THEN 0 "
+        f"ELSE size(split(trim({text}), '{ws}')) END AS BIGINT)"
+    )
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens as an array<string> (lowercased)."""
     return F.split(F.lower(F.trim(text)), WS)

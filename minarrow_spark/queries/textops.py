@@ -1174,37 +1174,45 @@ def q42_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions on (lang, shard) and the final rollup groups on the same
     key, so Catalyst reuses the window's hash partitioning: ONE shuffle
     total (pinned in tests/test_plans.py)."""
-    from minarrow_spark.functions.arithmetic import floordiv_int
+    from minarrow_spark.functions.arithmetic import floordiv_int_sql as fd
+    from minarrow_spark.functions.text import token_count_sql
 
     B, S = _PACK_BUDGET, _PACK_SHARDS
     d = par(T(spark, sf_dir, "documents"))
-    t = d.select(
+    # Expressions as SQL strings (r11 — the q01/q10 build-cut pattern,
+    # mechanical transcription of the Column form; this was the largest
+    # zero-job builder left on the bench-timed path, ~0.35 s of ~85 py4j
+    # round-trips per build). Same plan (r11 after-dump diff empty modulo
+    # expression ids); the floordiv/token-count contracts stay single-
+    # sourced via their twin-pinned *_sql emitters. Literal-type notes:
+    # bare integer SQL literals are INT like F.lit(n) (only fractional
+    # literals flip to DECIMAL — the q10 lesson); the chunk-budget divisor
+    # keeps its explicit CAST(512 AS BIGINT) from the Column form.
+    t = d.selectExpr(
         "lang",
-        (F.col("doc_id") % S).alias("shard"),
+        f"doc_id % {S} AS shard",
         "doc_id",
-        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        f"{token_count_sql('text')} AS n_tok",
     )
-    w = (
-        W.partitionBy("lang", "shard")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    c = t.select(
+    c = t.selectExpr(
         "lang",
         "shard",
         "n_tok",
-        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+        "COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before",
     )
-    bud = F.lit(B).cast("long")
-    straddle = floordiv_int(
-        F.col("cum_before") + F.greatest(F.col("n_tok"), F.lit(1)) - 1, bud
-    ) != floordiv_int(F.col("cum_before"), bud)
-    return c.groupBy("lang", F.col("shard").cast("bigint").alias("shard")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("total_tokens"),
-        floordiv_int(F.sum("n_tok") + (B - 1), F.lit(B).cast("long"))
-        .cast("bigint")
-        .alias("n_chunks"),
-        F.sum(F.when(straddle, 1).otherwise(0)).cast("bigint").alias("n_straddlers"),
-        ((B - F.sum("n_tok") % B) % B).cast("bigint").alias("tail_pad"),
+    bud = f"CAST({B} AS BIGINT)"
+    straddle = (
+        f"({fd(f'cum_before + greatest(n_tok, 1) - 1', bud)})"
+        f" != ({fd('cum_before', bud)})"
+    )
+    return c.groupBy("lang", F.expr("CAST(shard AS BIGINT) AS shard")).agg(
+        F.expr("count(1) AS n_docs"),
+        F.expr("CAST(sum(n_tok) AS BIGINT) AS total_tokens"),
+        F.expr(f"CAST({fd(f'sum(n_tok) + {B - 1}', bud)} AS BIGINT) AS n_chunks"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {straddle} THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_straddlers"
+        ),
+        F.expr(f"CAST(({B} - sum(n_tok) % {B}) % {B} AS BIGINT) AS tail_pad"),
     )

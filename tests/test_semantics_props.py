@@ -84,6 +84,59 @@ def test_int_floordiv_exact_full_range(spark, pairs):
 
 
 @settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(BIGINTS, BIGINTS), min_size=1, max_size=50))
+def test_floordiv_sql_twin_matches_column_form(spark, pairs):
+    """floordiv_int_sql (the r11 build-cut SQL emitter) must stay the SAME
+    expression as floordiv_int: value- and type-identical over the signed
+    full range including zero divisors. The contract is single-sourced in
+    functions/arithmetic.py; this pin is what allows bench-timed builders
+    to use the string form."""
+    from minarrow_spark.functions.arithmetic import floordiv_int_sql
+
+    pairs = pairs + [(7, 0), (-7, -2), (7, -2), (-7, 2), (0, 5)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = df.select(
+        floordiv_int(F.col("a"), F.col("b")).alias("col_form"),
+        F.expr(floordiv_int_sql("a", "b")).alias("sql_form"),
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+    for r in out.collect():
+        assert r.col_form == r.sql_form, r
+
+
+def test_token_count_sql_twin_matches_column_form(spark):
+    """token_count_sql must reproduce token_count byte-for-byte, including
+    the WS pattern string itself: the SQL literal is backslash-escaped so
+    the parser yields the IDENTICAL Java regex bytes (an over-escaped class
+    would match literal t/n/r/f/backslash characters — caught by the
+    hostile rows below; an under-escaped one is regex-equivalent but would
+    silently fork the pattern bytes — caught by the round-trip assert)."""
+    from minarrow_spark.functions.text import WS, token_count, token_count_sql
+
+    # The pattern literal inside the twin must round-trip through the Spark
+    # SQL parser to the exact WS bytes the Column form passes.
+    # quoted segments: [1] is the `= ''` empty-string compare, [3] the pattern
+    ws_lit = token_count_sql("text").split("'")[3]
+    assert spark.sql(f"SELECT '{ws_lit}' AS p").first().p == WS
+
+    rows = [
+        ("",), ("   ",), ("one",), ("two words",), ("tab\tsep",),
+        ("nl\nsep",), ("cr\rsep",), ("ff\fsep",), ("vt\x0bglued",),
+        ("donut train fan",),            # t/n/r/f letters: over-escape trap
+        ("back\\slash t n r f",),        # literal backslash: over-escape trap
+        ("  lead trail  ",), ("mixed \t\n\r\f all",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        token_count(F.col("text")).alias("col_form"),
+        F.expr(f"{token_count_sql('text')}").alias("sql_form"),
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "bigint"]
+    for r in out.collect():
+        assert r.col_form == r.sql_form, r
+
+
+@settings(max_examples=25, deadline=None)
 @given(st.lists(st.tuples(BIGINTS, INTS), min_size=1, max_size=50))
 def test_checked_narrowing_cast(spark, pairs):
     """Narrowing-cast policy (reference checked TryFrom,
