@@ -47,6 +47,30 @@ def cosine_sim(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), digits)
 
 
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(CAST({a} AS ARRAY<DOUBLE>), 0.0D,"
+        f" (acc, x) -> acc + x * x))"
+    )
+
+
+def cosine_sim_sql(a: str, b: str, digits: int = 6) -> str:
+    """SQL-string twin of :func:`cosine_sim` — the SAME expression tree
+    (modulo lambda-variable names, which Catalyst auto-numbers on the Column
+    side), emitted for bench-timed builders (the r11 q42 build-cut pattern:
+    one parse round-trip instead of ~25 py4j Column/lambda ops). The
+    determinism + try_divide zero-norm contract stays single-sourced here,
+    next to the Column form; twin equivalence (values, types, NULL on
+    zero-norm) pinned in tests/test_semantics_props.py. Note the 0.0D
+    suffix: a bare SQL 0.0 is DECIMAL(2,1) and would flip the fold type."""
+    dot_s = (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>),"
+        f" CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0.0D,"
+        f" (acc, v) -> acc + v)"
+    )
+    return f"round(try_divide({dot_s}, {_norm_sql(a)} * {_norm_sql(b)}), {digits})"
+
+
 def cosine_sim_arrow(digits: int = 6) -> "Column":
     """Arrow-batched cosine for the pair-verify HOT PATH: a pandas_udf whose
     batch body is three numpy einsum reductions over a stacked (n, dim)
@@ -117,20 +141,27 @@ def brute_force_topk(
 
     Plan: broadcast-nested-loop (queries tiny) → per-row cosine in codegen →
     rank window partitioned by query. Scales linearly in candidate count.
-    """
-    from pyspark.sql import Window as W
 
-    sim = cosine_sim(F.col(q_vec), F.col(c_vec))
+    Built via SQL strings (r11 build-cut, q42 pattern): identical plan to
+    the Column form (after-dump diff empty modulo expression ids and
+    auto-numbered lambda-variable names), ~0.1 s less py4j build cost per
+    bench rep on the q38 headline path. cosine_sim_sql is the twin-pinned
+    emitter of cosine_sim.
+    """
     scored = (
         candidates.join(F.broadcast(queries))
-        .filter(F.col(c_id) != F.col(q_id))
-        .select(q_id, c_id, sim.alias("sim"))
+        .where(f"`{c_id}` != `{q_id}`")
+        .selectExpr(
+            f"`{q_id}`",
+            f"`{c_id}`",
+            f"{cosine_sim_sql(q_vec, c_vec)} AS sim",
+        )
     )
-    w = W.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.selectExpr(
+        "*",
+        f"CAST(row_number() OVER (PARTITION BY `{q_id}`"
+        f" ORDER BY sim DESC, `{c_id}`) AS BIGINT) AS rank",
+    ).where(f"rank <= {k}")
 
 
 def sign_cell(vec: Column, lo: int, hi: int) -> Column:

@@ -57,8 +57,8 @@ def q38_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for 5 probe vectors (brute-force
     baseline; scales linearly — probes broadcast, one candidate scan)."""
     e = par(T(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    probes = e.where("vec_id < 5").selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
     )
     return brute_force_topk(probes, e, k=10).select("q_id", "vec_id", "sim", "rank")
 

@@ -136,6 +136,29 @@ def test_token_count_sql_twin_matches_column_form(spark):
         assert r.col_form == r.sql_form, r
 
 
+def test_cosine_sim_sql_twin_matches_column_form(spark):
+    """cosine_sim_sql (r11 build-cut emitter) must stay the SAME expression
+    as cosine_sim: value- and type-identical, including the try_divide
+    zero-norm → NULL contract and float→double widening."""
+    from minarrow_spark.operators.similarity import cosine_sim, cosine_sim_sql
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero norm -> NULL
+        (3, [1.5, -2.5], [1.5, -2.5]),            # identical -> 1.0
+        (4, [1e-8, 1e8], [-1e8, 1e-8]),           # orthogonal -> 0.0
+        (5, [0.1, 0.2, 0.3], [0.0, 0.0, 0.0]),    # zero norm other side
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    out = df.select(
+        cosine_sim(F.col("a"), F.col("b")).alias("col_form"),
+        F.expr(cosine_sim_sql("a", "b")).alias("sql_form"),
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["double", "double"]
+    for r in out.collect():
+        assert r.col_form == r.sql_form, r
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.tuples(BIGINTS, INTS), min_size=1, max_size=50))
 def test_checked_narrowing_cast(spark, pairs):
