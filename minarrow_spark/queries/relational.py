@@ -73,49 +73,50 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ANY partitioning (integer sums are exact and commutative); the salt
     only routes rows, so rand() is safe. The extra stage shuffles
     6×1024 partial rows — noise."""
-    # Expressions as SQL STRINGS (r10 opt — the r8 q36 build-cut pattern):
-    # the Column-operator form made ~130 py4j round-trips per build,
-    # 0.19 s/run on a headline query; this form parses in 0.055 s with
-    # bit-identical values (asserted group-for-group) and the same
-    # optimized plan modulo expression placement (the scaled longs sit in
-    # an explicit Project — Catalyst fuses it into the partial agg's
-    # codegen stage either way).
-    l = T(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-    )
-    partial = (
-        l.selectExpr(
-            "l_returnflag",
-            "l_linestatus",
-            "CAST(rand() * 1024 AS INT) AS __salt",
-            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c",
-            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
-            "CAST(round(l_extendedprice * 100) AS BIGINT)"
-            " * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_e4",
-            "CAST(round(l_extendedprice * 100) AS BIGINT)"
-            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-            " * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge_e6",
-            "CAST(round(l_discount * 100) AS BIGINT) AS disc_bp",
-        )
-        .groupBy("l_returnflag", "l_linestatus", "__salt")
-        .agg(
-            F.expr("sum(qty_c) AS qty_c"),
-            F.expr("sum(price_c) AS price_c"),
-            F.expr("sum(disc_e4) AS disc_e4"),
-            F.expr("sum(charge_e6) AS charge_e6"),
-            F.expr("sum(disc_bp) AS disc_bp"),
-            F.expr("count(1) AS n"),
-        )
-    )
+    # Expressions as SQL STRINGS (r10 opt — the r8 q36 build-cut pattern),
+    # upgraded r11 to ONE spark.sql call with {l} DataFrame substitution:
+    # the Column-operator form made ~130 py4j round-trips per build
+    # (0.19 s/run on a headline query), the r10 selectExpr/F.expr form
+    # still ~144 (per-element list marshalling + 13 expr parses); a single
+    # parameterized statement is one parse round-trip, same optimized plan
+    # (r11 after-dump diff empty modulo expression ids), bit-identical
+    # values. The expression strings are unchanged from the r10 form —
+    # scaled-long derivations per the docstring.
     d38 = "sum(CAST({c} AS DECIMAL(38,0)))"
-    return partial.groupBy("l_returnflag", "l_linestatus").agg(
-        F.expr(f"CAST({d38.format(c='qty_c')} / 100 AS DOUBLE) AS sum_qty"),
-        F.expr(f"CAST({d38.format(c='price_c')} / 100 AS DOUBLE) AS sum_base_price"),
-        F.expr(f"CAST({d38.format(c='disc_e4')} / 10000 AS DOUBLE) AS sum_disc_price"),
-        F.expr(f"CAST({d38.format(c='charge_e6')} / 1000000 AS DOUBLE) AS sum_charge"),
-        F.expr(f"CAST({d38.format(c='qty_c')} / 100 AS DOUBLE) / sum(n) AS avg_qty"),
-        F.expr(f"CAST({d38.format(c='disc_bp')} / 100 AS DOUBLE) / sum(n) AS avg_disc"),
-        F.expr("sum(n) AS count_order"),
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST({d38.format(c='qty_c')} / 100 AS DOUBLE) AS sum_qty,
+               CAST({d38.format(c='price_c')} / 100 AS DOUBLE) AS sum_base_price,
+               CAST({d38.format(c='disc_e4')} / 10000 AS DOUBLE) AS sum_disc_price,
+               CAST({d38.format(c='charge_e6')} / 1000000 AS DOUBLE) AS sum_charge,
+               CAST({d38.format(c='qty_c')} / 100 AS DOUBLE) / sum(n) AS avg_qty,
+               CAST({d38.format(c='disc_bp')} / 100 AS DOUBLE) / sum(n) AS avg_disc,
+               sum(n) AS count_order
+        FROM (
+          SELECT l_returnflag, l_linestatus, __salt,
+                 sum(qty_c) AS qty_c, sum(price_c) AS price_c,
+                 sum(disc_e4) AS disc_e4, sum(charge_e6) AS charge_e6,
+                 sum(disc_bp) AS disc_bp, count(1) AS n
+          FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(rand() * 1024 AS INT) AS __salt,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_e4,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge_e6,
+                   CAST(round(l_discount * 100) AS BIGINT) AS disc_bp
+            FROM {{l}}
+            WHERE l_shipdate <= CAST('1998-09-02 00:00:00' AS TIMESTAMP)
+          )
+          GROUP BY l_returnflag, l_linestatus, __salt
+        )
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        l=T(spark, sf_dir, "lineitem"),
     )
 
 
@@ -226,6 +227,12 @@ def q04_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Expressions as SQL strings (r11 — the q01/q36 build-cut pattern,
     # mechanical transcription of the Column form): same plan, ~20 fewer
     # py4j round-trips per build on a headline query.
+    # Measured refusal (r11 session 4): the q01 one-statement spark.sql
+    # form was A/B'd here too — ~178 py4j calls collapse to ~17, but
+    # spark.sql ANALYZES eagerly and the 3-table substitution's analysis
+    # costs what the round-trips saved (interleaved end-to-end medians
+    # 0.980 old vs 0.970 new — a wash; q01's single-table form wins every
+    # pair). Kept the lazy DSL form.
     per_order = (
         l.selectExpr(
             "l_orderkey",
