@@ -267,30 +267,41 @@ def q46_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q47_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-min inactivity gap: lag → new-session flag →
-    running sum → per-session rollup. One shuffle on user_id."""
-    e = T(spark, sf_dir, "events")
-    ep = F.unix_micros(F.col("ts"))
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = e.select(
-        "user_id",
-        "event_id",
-        ep.alias("ep"),
-        F.when(
-            F.lag(ep).over(w).isNull() | ((ep - F.lag(ep).over(w)) > 1_800_000_000),
-            1,
+    running sum → per-session rollup. One shuffle on user_id.
+
+    Built as ONE parameterized spark.sql statement (r11, the q01 build-cut
+    pattern): one parse round-trip instead of ~35 py4j Column/window ops
+    per build; same optimized plan (r11 after-dump diff empty modulo
+    expression ids), identical values. Literal notes: 1800000000 (30 min in
+    µs) and 1000000 are bare integer SQL literals = INT, matching the
+    Column form's Python ints; FLOOR already returns BIGINT (the CAST is
+    the explicit output-type contract either way)."""
+    return spark.sql(
+        """
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(1) AS n_events,
+               CAST(FLOOR((max(ep) - min(ep)) / 1000000) AS BIGINT)
+                 AS duration_s
+        FROM (
+          SELECT user_id, event_id, ep,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ep, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM (
+            SELECT user_id, event_id, unix_micros(ts) AS ep,
+                   CASE WHEN LAG(unix_micros(ts)) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
+                        OR (unix_micros(ts) - LAG(unix_micros(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM {e}
+          )
         )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    ws = (
-        W.partitionBy("user_id")
-        .orderBy("ep", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    sess = marked.withColumn("session_id", F.sum("new_session").over(ws))
-    return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.floor((F.max("ep") - F.min("ep")) / 1_000_000).cast("bigint").alias("duration_s"),
+        GROUP BY user_id, CAST(session_id AS BIGINT)
+        """,
+        e=T(spark, sf_dir, "events"),
     )
 
 
