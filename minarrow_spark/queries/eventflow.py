@@ -32,21 +32,28 @@ from minarrow_spark.registry import query
     bench=True,
 )
 def q45_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows (F.window — identical spec runs
-    under readStream + watermark in the streaming layer)."""
-    e = T(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+    """Tumbling 1-hour event-time windows (window() — identical spec runs
+    under readStream + watermark in the streaming layer).
+
+    Built as ONE parameterized spark.sql statement (r11 §10, the q01/q47
+    build-cut pattern): one parse round-trip, same plan (after-dump diff
+    empty modulo expression ids), identical values. The DECIMAL(18,2) sum
+    is the exact order-independent aggregation contract (functions.
+    arithmetic.dec), emitted as double."""
+    return spark.sql(
+        """
+        SELECT CAST(unix_timestamp(w.start) AS BIGINT) AS window_start,
+               event_type, n, total_value
+        FROM (
+          SELECT window(ts, '1 hour') AS w, event_type,
+                 count(1) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+          FROM {e}
+          GROUP BY window(ts, '1 hour'), event_type
         )
-        .select(
-            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+        """,
+        e=T(spark, sf_dir, "events"),
     )
 
 
